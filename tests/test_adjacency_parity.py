@@ -1,0 +1,99 @@
+"""Golden parity: stencil pair sweep vs per-label dilation oracle (§3.3–3.4)."""
+
+import numpy as np
+import pytest
+
+from tissue_analysis_tpu import analyze
+from tissue_analysis_tpu.oracle import ScipyOracle
+
+STACKS = ["small3d", "small3d_iso", "small2d", "cube", "slabs", "gapped"]
+
+
+@pytest.fixture(params=STACKS)
+def case(request):
+    img = request.getfixturevalue(request.param)
+    return img, analyze(img, background=1), ScipyOracle(img, background=1)
+
+
+def test_adjacency_sets_match_dilation_oracle(case):
+    img, table, oracle = case
+    ref = oracle.neighbors()
+    got = table.adjacency()
+    for l, nbs in ref.items():
+        assert got[l] == nbs, f"label {l}: {got[l]} != {nbs}"
+
+
+def test_adjacency_symmetric(case):
+    img, table, oracle = case
+    got = table.adjacency()
+    for l, nbs in got.items():
+        for nb in nbs:
+            assert l in got[nb]
+
+
+def test_wall_areas_match(case):
+    img, table, oracle = case
+    ref = oracle.wall_pairs(real=True)
+    got = table.pair_area_map()
+    assert set(got) == set(ref)
+    for pair in ref:
+        assert got[pair] == ref[pair], f"pair {pair}"
+
+
+def test_wall_voxel_counts_match(case):
+    img, table, oracle = case
+    ref = oracle.wall_pairs(real=False)
+    totals = table.wall_voxel_face_totals()
+    got = {}
+    for k in range(table.n_pairs):
+        la = int(table.ids[table.pair_lo[k]])
+        lb = int(table.ids[table.pair_hi[k]])
+        got[(min(la, lb), max(la, lb))] = int(totals[k])
+    assert got == {k: int(v) for k, v in ref.items()}
+
+
+def test_margins_match(case):
+    img, table, oracle = case
+    assert table.margin_labels() == oracle.cells_in_image_margins()
+
+
+def test_l1_matches(case):
+    img, table, oracle = case
+    assert table.l1_labels() == oracle.l1()
+
+
+def test_epidermis_surface_matches(case):
+    img, table, oracle = case
+    ref = oracle.epidermis_surface(real=True)
+    epi = table.epidermis_wall_area()
+    got = {
+        int(table.ids[k]): epi[k]
+        for k in range(table.n_labels)
+        if epi[k] > 0
+    }
+    assert set(got) == set(ref)
+    for l in ref:
+        assert got[l] == ref[l]
+
+
+def test_min_contact_area_filter(case):
+    img, table, oracle = case
+    areas = list(table.pair_area_map().values())
+    if len(areas) < 3:
+        pytest.skip("too few pairs")
+    thr = float(np.median(areas))
+    assert table.adjacency(min_contact_area=thr) == oracle.neighbors(
+        min_contact_area=thr
+    )
+
+
+def test_pair_buffer_overflow_rerun():
+    """max_pairs overflow triggers the rerun-larger path (§7 hard part 1)."""
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+
+    img = voronoi_stack((16, 16, 16), 30, seed=5)
+    full = analyze(img, background=1)
+    small = analyze(img, background=1, max_pairs=4)
+    assert small.n_pairs == full.n_pairs
+    np.testing.assert_array_equal(small.pair_lo, full.pair_lo)
+    np.testing.assert_array_equal(small.wall_face_counts, full.wall_face_counts)

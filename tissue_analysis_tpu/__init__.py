@@ -1,0 +1,54 @@
+"""tissue_analysis_tpu — TPU-native 3D tissue morphometrics.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+``VirtualPlants/tissue_analysis`` (``vplants.tissue_analysis``): per-cell
+feature extraction (volume, barycenter, bounding box, inertia axes),
+cell-adjacency / wall-surface analysis, epidermis (L1) and border-cell
+detection, and cell property-graph export over segmented (labeled) voxel
+stacks — replacing the reference's per-label ``scipy.ndimage`` loops with two
+fused device sweeps:
+
+1. a **segment-moment sweep** (counts, Σcoord, Σcoord², coordinate min/max per
+   label) computed with exact integer arithmetic so float results bit-match
+   the scipy reference semantics, and
+2. a **6/26-connectivity stencil sweep** emitting the complete cell-adjacency
+   graph and per-wall voxel/area tables in one pass.
+
+Reference parity citations use symbol granularity
+(``spatial_image_analysis.py :: Symbol``) per SURVEY.md §0 — the reference
+mount was empty this session, so no line numbers exist to cite.
+
+Public entry points:
+
+- :func:`tissue_analysis_tpu.analyze` — one-call fused analysis returning a
+  :class:`~tissue_analysis_tpu.features.table.FeatureTable`.
+- :class:`tissue_analysis_tpu.SpatialImageAnalysis` — reference-compatible
+  facade (``volume``/``neighbors``/``cell_wall_surface``/``inertia_axis``/…).
+- :func:`tissue_analysis_tpu.graph_from_image` — cell property-graph export.
+"""
+
+from tissue_analysis_tpu.core.spatial_image import (  # noqa: F401
+    SpatialImage,
+    imread,
+    imsave,
+)
+from tissue_analysis_tpu.core.stack import LabeledStack  # noqa: F401
+from tissue_analysis_tpu.engine import analyze  # noqa: F401
+from tissue_analysis_tpu.features.table import FeatureTable  # noqa: F401
+from tissue_analysis_tpu.analysis import (  # noqa: F401
+    DICT,
+    LIST,
+    NPLIST,
+    AbstractSpatialImageAnalysis,
+    SpatialImageAnalysis,
+    SpatialImageAnalysis2D,
+    SpatialImageAnalysis3D,
+    SpatialImageAnalysis3DS,
+)
+from tissue_analysis_tpu.graph import (  # noqa: F401
+    PropertyGraph,
+    TemporalPropertyGraph,
+    graph_from_image,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,281 @@
+"""AbstractSpatialImageAnalysis — reference-compatible facade.
+
+API parity with ``spatial_image_analysis.py :: AbstractSpatialImageAnalysis``
+(SURVEY.md §2.1 row 2): same method names and kwargs (``volume(labels=None,
+real=True)``, ``neighbors``, ``boundingbox``, ``center_of_mass``,
+``cells_in_image_margins``, ``border_cells``, ``L1``,
+``remove_margins_cells``, ``ignoredlabels``, DICT/LIST/NPLIST return modes)
+— but every query is served from ONE cached fused device pass
+(:func:`tissue_analysis_tpu.engine.analyze_stack`) instead of a fresh
+scipy.ndimage full-image pass per feature (SURVEY.md §3.2–3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from tissue_analysis_tpu.core.spatial_image import SpatialImage
+from tissue_analysis_tpu.core.stack import LabeledStack
+from tissue_analysis_tpu.engine import analyze_stack
+from tissue_analysis_tpu.features.table import FeatureTable
+
+__all__ = ["DICT", "LIST", "NPLIST", "AbstractSpatialImageAnalysis"]
+
+# Return-mode constants (``spatial_image_analysis.py`` module constants).
+DICT = 0
+LIST = 1
+NPLIST = 2
+
+
+class AbstractSpatialImageAnalysis:
+    def __init__(
+        self,
+        image,
+        ignoredlabels: Union[int, Iterable[int], None] = None,
+        return_type: int = DICT,
+        background: Optional[int] = 1,
+    ):
+        self.image = (
+            image
+            if isinstance(image, SpatialImage)
+            else SpatialImage(np.asarray(image))
+        )
+        if ignoredlabels is None:
+            ignoredlabels = []
+        elif np.isscalar(ignoredlabels):
+            ignoredlabels = [int(ignoredlabels)]
+        self._ignoredlabels = set(int(i) for i in ignoredlabels)
+        self.return_type = return_type
+        self._background = background
+        self._table: Optional[FeatureTable] = None
+
+    # ------------------------------------------------------------ plumbing
+    @property
+    def voxelsize(self):
+        return self.image.voxelsize
+
+    # legacy alias
+    @property
+    def resolution(self):
+        return self.image.voxelsize
+
+    def background(self) -> Optional[int]:
+        return self._background
+
+    @property
+    def ignoredlabels(self):
+        return set(self._ignoredlabels)
+
+    def add2ignoredlabels(self, labels) -> None:
+        if np.isscalar(labels):
+            labels = [labels]
+        self._ignoredlabels.update(int(l) for l in labels)
+
+    def table(self) -> FeatureTable:
+        """The fused one-pass feature table (computed lazily, cached)."""
+        if self._table is None:
+            stack = LabeledStack.from_array(
+                self.image,
+                voxelsize=self.image.voxelsize,
+                background=self._background,
+            )
+            self._table = analyze_stack(stack)
+        return self._table
+
+    def _invalidate(self) -> None:
+        self._table = None
+
+    # ------------------------------------------------------ label protocol
+    def labels(self) -> List[int]:
+        """All labels present, minus ignored ones (``:: labels``)."""
+        return [
+            int(l) for l in sorted(self.table().ids) if int(l) not in self._ignoredlabels
+        ]
+
+    def nb_labels(self) -> int:
+        return len(self.labels())
+
+    def label_request(self, labels) -> List[int]:
+        """None → all labels; scalar → [scalar]; sequence kept as-is."""
+        if labels is None:
+            return self.labels()
+        if np.isscalar(labels):
+            return [int(labels)]
+        return [int(l) for l in labels]
+
+    def convert_return(self, values, labels, asked_scalar: bool = False):
+        """Apply the DICT/LIST/NPLIST return-mode protocol."""
+        if asked_scalar and len(labels) == 1:
+            return values[0]
+        if self.return_type == DICT:
+            return dict(zip(labels, values))
+        if self.return_type == LIST:
+            return list(values)
+        return np.asarray(values)
+
+    def _per_label(self, labels, seg_values, missing=None):
+        """Gather per-segment values for requested original labels."""
+        t = self.table()
+        out = []
+        for l in labels:
+            s = t.segment_of(l)
+            out.append(missing if s is None else seg_values[s])
+        return out
+
+    # ------------------------------------------------------------ features
+    def volume(self, labels=None, real: bool = True):
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        vals = self.table().volume(real=real)
+        res = self._per_label(req, vals, missing=0.0 if real else 0)
+        return self.convert_return(res, req, asked_scalar)
+
+    def center_of_mass(self, labels=None, real: bool = True):
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        vals = self.table().barycenter(real=real)
+        res = self._per_label(req, vals)
+        return self.convert_return(res, req, asked_scalar)
+
+    def boundingbox(self, labels=None, real: bool = False):
+        """Slice tuples (voxel) or (start, stop) physical intervals if real.
+
+        Preserves ``nd.find_objects`` semantics: absent labels → None
+        (SURVEY.md §7 hard part #6).
+        """
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        slices = self.table().bounding_slices()
+        res = self._per_label(req, slices)
+        if real:
+            v = np.asarray(self.voxelsize, np.float64)
+            res = [
+                None
+                if sl is None
+                else tuple(
+                    (s.start * v[d], s.stop * v[d]) for d, s in enumerate(sl)
+                )
+                for sl in res
+            ]
+        return self.convert_return(res, req, asked_scalar)
+
+    # ------------------------------------------------------------ adjacency
+    def neighbors(
+        self, labels=None, min_contact_area: Optional[float] = None, real: bool = True
+    ):
+        """{label: sorted neighbor labels}, 6-connectivity (SURVEY.md §3.3).
+
+        Ignored labels are excluded from neighbor lists (but the background
+        is kept — its presence marks epidermal cells).
+        """
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        adj = self.table().adjacency(min_contact_area=min_contact_area, real=real)
+        drop = self._ignoredlabels - {self._background}
+        res = [
+            sorted(x for x in adj.get(l, []) if x not in drop) for l in req
+        ]
+        if asked_scalar:
+            return res[0]
+        return dict(zip(req, res)) if self.return_type == DICT else res
+
+    def neighbor_kernels(self):
+        """The 2·D face-shift structuring elements (``:: neighbor_kernels``)."""
+        d = self.image.ndim
+        kernels = []
+        for axis in range(d):
+            for sign in (-1, 1):
+                k = np.zeros((3,) * d, dtype=bool)
+                idx = [1] * d
+                idx[axis] = 1 + sign
+                k[tuple(idx)] = True
+                kernels.append(k)
+        return tuple(kernels)
+
+    def get_voxel_face_surface(self) -> np.ndarray:
+        """Physical area of a voxel face per axis (∏v / v_d), f64[D]."""
+        return self.table().face_areas()
+
+    def wall_voxels_between_two_cells(self, label_1: int, label_2: int):
+        """Coordinates of the wall voxels between two cells, int64 [D, M].
+
+        A wall voxel = voxel of either cell 6-adjacent to the other
+        (``:: wall_voxels_between_two_cells``). Computed bbox-locally on host
+        — a tiny region, not a full-image pass.
+        """
+        img = np.asarray(self.image)
+        bbs = self.boundingbox(labels=[label_1, label_2])
+        bb1, bb2 = (bbs[label_1], bbs[label_2]) if self.return_type == DICT else bbs
+        if bb1 is None or bb2 is None:
+            return np.zeros((img.ndim, 0), dtype=np.int64)
+        union = tuple(
+            slice(
+                max(0, min(a.start, b.start) - 1),
+                min(dim, max(a.stop, b.stop) + 1),
+            )
+            for a, b, dim in zip(bb1, bb2, img.shape)
+        )
+        sub = img[union]
+        m1 = sub == label_1
+        m2 = sub == label_2
+        touch = np.zeros_like(m1)
+        for d in range(sub.ndim):
+            sa = [slice(None)] * sub.ndim
+            sb = [slice(None)] * sub.ndim
+            sa[d] = slice(0, -1)
+            sb[d] = slice(1, None)
+            a_, b_ = tuple(sa), tuple(sb)
+            pair = (m1[a_] & m2[b_]) | (m2[a_] & m1[b_])
+            touch[a_] |= pair
+            touch[b_] |= pair
+        coords = np.nonzero(touch & (m1 | m2))
+        offs = np.array([s.start for s in union], dtype=np.int64)
+        return np.stack([c + o for c, o in zip(coords, offs)], axis=0)
+
+    # --------------------------------------------- margins / borders / L1
+    def cells_in_image_margins(self) -> List[int]:
+        """Labels present on the array boundary (``:: cells_in_image_margins``)."""
+        return [
+            l
+            for l in self.table().margin_labels()
+            if l not in self._ignoredlabels
+        ]
+
+    def border_cells(self) -> List[int]:
+        """Margin labels minus the background (``:: border_cells``)."""
+        return [l for l in self.cells_in_image_margins() if l != self._background]
+
+    def L1(self, background: Optional[int] = None) -> List[int]:
+        """Cells whose neighbors include the background — the epidermis layer."""
+        bg = self._background if background is None else background
+        if bg is None:
+            return []
+        t = self.table()
+        if background is not None and background != self._background:
+            # non-default background: derive from adjacency
+            adj = t.adjacency()
+            return sorted(
+                l
+                for l, nb in adj.items()
+                if l != bg and bg in nb and l not in self._ignoredlabels
+            )
+        return [l for l in t.l1_labels() if l not in self._ignoredlabels]
+
+    def remove_margins_cells(self, verbose: bool = False):
+        """Relabel margin cells to background and recompute
+        (``:: remove_margins_cells``). Returns the removed labels."""
+        removed = self.border_cells()
+        if not removed:
+            return []
+        img = np.asarray(self.image).copy()
+        mask = np.isin(img, removed)
+        bg = self._background if self._background is not None else 0
+        img[mask] = bg
+        self.image = SpatialImage(img, voxelsize=self.voxelsize)
+        self._ignoredlabels.difference_update(removed)
+        self._invalidate()
+        if verbose:
+            print(f"removed {len(removed)} margin cells: {removed}")
+        return removed

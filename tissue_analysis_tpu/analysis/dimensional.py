@@ -1,0 +1,177 @@
+"""2D / 3D / surfacic analysis classes and the dispatch factory.
+
+Parity targets: ``spatial_image_analysis.py :: SpatialImageAnalysis`` (factory,
+SURVEY.md §2.1 row 1), ``:: SpatialImageAnalysis3D`` (row 3),
+``:: SpatialImageAnalysis2D`` (row 4), ``:: SpatialImageAnalysis3DS`` (row 5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tissue_analysis_tpu.analysis.base import AbstractSpatialImageAnalysis, DICT
+
+__all__ = [
+    "SpatialImageAnalysis",
+    "SpatialImageAnalysis2D",
+    "SpatialImageAnalysis3D",
+    "SpatialImageAnalysis3DS",
+]
+
+
+class SpatialImageAnalysis3D(AbstractSpatialImageAnalysis):
+    """Volumetric specializations (``:: SpatialImageAnalysis3D``)."""
+
+    def inertia_axis(self, labels=None, real: bool = True):
+        """Principal inertia axes per cell: (eigvectors [D,D], eigvalues [D]).
+
+        Eigenvalues sorted descending; eigenvector rows canonically signed
+        (largest-|component| positive) — the one tolerance-based comparison
+        of the parity suite (SURVEY.md §7 hard part #2).
+        """
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        evals, evecs = self.table().inertia_axes(real=real)
+        vals = [
+            (evecs[s], evals[s]) if s is not None else None
+            for s in (self.table().segment_of(l) for l in req)
+        ]
+        return self.convert_return(vals, req, asked_scalar)
+
+    def cell_wall_surface(self, label_1: int, label_2: int, real: bool = True):
+        """Contact area between two cells (``:: cell_wall_surface``)."""
+        t = self.table()
+        s1, s2 = t.segment_of(label_1), t.segment_of(label_2)
+        if s1 is None or s2 is None:
+            return 0.0 if real else 0
+        lo, hi = min(s1, s2), max(s1, s2)
+        sel = (t.pair_lo == lo) & (t.pair_hi == hi)
+        if real:
+            return float(t.wall_face_counts[sel].astype(np.float64) @ t.face_areas())
+        return int(t.wall_face_counts[sel].sum())
+
+    def wall_surfaces(
+        self, cell_pairs: Optional[Sequence[Tuple[int, int]]] = None, real: bool = True
+    ) -> Dict[Tuple[int, int], float]:
+        """All (or requested) wall contact areas (``:: wall_surfaces``)."""
+        t = self.table()
+        all_pairs = (
+            t.pair_area_map()
+            if real
+            else {
+                k: float(v)
+                for k, v in zip(
+                    [
+                        tuple(
+                            sorted((int(t.ids[a]), int(t.ids[b])))
+                        )
+                        for a, b in zip(t.pair_lo, t.pair_hi)
+                    ],
+                    t.wall_voxel_face_totals(),
+                )
+            }
+        )
+        drop = self._ignoredlabels - {self._background}
+        if cell_pairs is None:
+            return {
+                k: v
+                for k, v in sorted(all_pairs.items())
+                if k[0] not in drop and k[1] not in drop
+            }
+        out = {}
+        for a, b in cell_pairs:
+            key = (min(a, b), max(a, b))
+            out[key] = all_pairs.get(key, 0.0 if real else 0)
+        return out
+
+    def epidermis_surface(self, labels=None, real: bool = True):
+        """Contact area with the background per cell (``:: epidermis_surface``)."""
+        asked_scalar = labels is not None and np.isscalar(labels)
+        t = self.table()
+        area_by_seg = t.epidermis_wall_area()
+        if not real:
+            area_by_seg = np.zeros(t.n_labels, dtype=np.int64)
+            if t.background_segment is not None:
+                bg = t.background_segment
+                totals = t.wall_voxel_face_totals()
+                for k in range(t.n_pairs):
+                    a, b = int(t.pair_lo[k]), int(t.pair_hi[k])
+                    if a == bg:
+                        area_by_seg[b] += totals[k]
+                    elif b == bg:
+                        area_by_seg[a] += totals[k]
+        if labels is None:
+            req = [l for l in self.L1()]
+        else:
+            req = self.label_request(labels)
+        res = self._per_label(req, area_by_seg, missing=0.0 if real else 0)
+        return self.convert_return(res, req, asked_scalar)
+
+
+class SpatialImageAnalysis2D(AbstractSpatialImageAnalysis):
+    """Planar analogues (``:: SpatialImageAnalysis2D``): area/perimeter/2×2
+    inertia. `volume` measures area; wall "surfaces" are boundary lengths."""
+
+    def area(self, labels=None, real: bool = True):
+        return self.volume(labels=labels, real=real)
+
+    def inertia_axis(self, labels=None, real: bool = True):
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        evals, evecs = self.table().inertia_axes(real=real)
+        vals = [
+            (evecs[s], evals[s]) if s is not None else None
+            for s in (self.table().segment_of(l) for l in req)
+        ]
+        return self.convert_return(vals, req, asked_scalar)
+
+    def perimeter(self, labels=None, real: bool = True):
+        """Boundary length per cell: Σ over edges with *any* other label."""
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        t = self.table()
+        per_seg = np.zeros(t.n_labels, dtype=np.float64)
+        w = (
+            t.wall_face_counts.astype(np.float64) @ t.face_areas()
+            if real
+            else t.wall_voxel_face_totals().astype(np.float64)
+        )
+        for k in range(t.n_pairs):
+            per_seg[int(t.pair_lo[k])] += w[k]
+            per_seg[int(t.pair_hi[k])] += w[k]
+        res = self._per_label(req, per_seg, missing=0.0)
+        return self.convert_return(res, req, asked_scalar)
+
+    cell_wall_surface = SpatialImageAnalysis3D.cell_wall_surface
+    wall_surfaces = SpatialImageAnalysis3D.wall_surfaces
+    epidermis_surface = SpatialImageAnalysis3D.epidermis_surface
+
+
+class SpatialImageAnalysis3DS(SpatialImageAnalysis3D):
+    """Surfacic (2.5D) variant for thin/curved monolayer tissue
+    (``:: SpatialImageAnalysis3DS``, [M] in SURVEY.md — behavior kept
+    identical to 3D except the L1 definition, since a monolayer is entirely
+    epidermal: every non-background cell with any background contact is L1)."""
+
+    def L1(self, background: Optional[int] = None):
+        return super().L1(background=background)
+
+
+def SpatialImageAnalysis(image, *args, **kwargs):
+    """Dispatch factory (``:: SpatialImageAnalysis`` factory, SURVEY.md §3.1).
+
+    2D images → ``SpatialImageAnalysis2D``; 3D → ``SpatialImageAnalysis3D``;
+    thin 3D stacks (one axis ≤ 3 voxels) → the surfacic ``3DS`` variant.
+    Pass ``variant='3D'|'3DS'|'2D'`` to override.
+    """
+    variant = kwargs.pop("variant", "auto")
+    arr = np.asarray(image)
+    if variant == "2D" or (variant == "auto" and arr.ndim == 2):
+        return SpatialImageAnalysis2D(image, *args, **kwargs)
+    if arr.ndim != 3:
+        raise ValueError(f"expected 2D or 3D labeled image, got ndim={arr.ndim}")
+    if variant == "3DS" or (variant == "auto" and min(arr.shape) <= 3):
+        return SpatialImageAnalysis3DS(image, *args, **kwargs)
+    return SpatialImageAnalysis3D(image, *args, **kwargs)

@@ -1,0 +1,139 @@
+"""Exact-integer-moment finalization shared by the TPU engine and the oracle.
+
+SURVEY.md §7.2 exactness rule: all per-label sums (count, Σcoord, Σcoord·coord,
+coordinate min/max) are accumulated exactly as integers; physical-unit
+features are then derived in float64 through ONE canonical sequence of
+operations. Because the oracle computes its integer moments with numpy and
+the engine computes them on device, routing both through this module makes
+float features (barycenter, real volume, covariance, inertia axes)
+**bit-identical** whenever the integer moments agree — sidestepping
+float-accumulation-order divergence entirely (reference parity target:
+``spatial_image_analysis.py :: center_of_mass / volume / inertia_axis``).
+
+Moment layout for D dims (D = 2 or 3):
+- ``count  : int64[N]``
+- ``s1     : int64[N, D]``      Σ coord_i
+- ``s2     : int64[N, P]``      Σ coord_i·coord_j for the P=D(D+1)/2 upper-
+  triangular index pairs in row-major order
+  (3D: zz, zy, zx, yy, yx, xx — i.e. pairs (0,0),(0,1),(0,2),(1,1),(1,2),(2,2)).
+- ``cmin/cmax : int64[N, D]``   per-axis coordinate min/max (undefined where
+  count == 0).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "tri_pairs",
+    "real_volume",
+    "barycenter",
+    "bounding_slices",
+    "second_moment_matrix",
+    "covariance",
+    "inertia_axes",
+]
+
+
+def tri_pairs(ndim: int):
+    """Upper-triangular (i, j) index pairs, row-major — the s2 column order."""
+    return [(i, j) for i in range(ndim) for j in range(i, ndim)]
+
+
+def real_volume(count: np.ndarray, voxelsize) -> np.ndarray:
+    """count × ∏voxelsize, float64 (``:: volume`` with real=True)."""
+    vprod = float(np.prod(np.asarray(voxelsize, dtype=np.float64)))
+    return count.astype(np.float64) * vprod
+
+
+def barycenter(count: np.ndarray, s1: np.ndarray, voxelsize=None) -> np.ndarray:
+    """Σcoord / count in float64; × voxelsize if given (``:: center_of_mass``).
+
+    Bit-matches ``scipy.ndimage.center_of_mass`` in voxel space (verified
+    experimentally, SURVEY.md §0.1).
+    """
+    n = count.astype(np.float64)[:, None]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bary = s1.astype(np.float64) / n
+    if voxelsize is not None:
+        bary = bary * np.asarray(voxelsize, dtype=np.float64)[None, :]
+    return bary
+
+
+def bounding_slices(count, cmin, cmax):
+    """Per-label slice tuples (None where absent) — ``nd.find_objects`` style."""
+    out = []
+    for k in range(count.shape[0]):
+        if count[k] == 0:
+            out.append(None)
+        else:
+            out.append(
+                tuple(
+                    slice(int(cmin[k, d]), int(cmax[k, d]) + 1)
+                    for d in range(cmin.shape[1])
+                )
+            )
+    return out
+
+
+def second_moment_matrix(s2: np.ndarray, ndim: int) -> np.ndarray:
+    """Expand packed Σcᵢcⱼ into symmetric [N, D, D] float64."""
+    n = s2.shape[0]
+    m = np.zeros((n, ndim, ndim), dtype=np.float64)
+    for col, (i, j) in enumerate(tri_pairs(ndim)):
+        m[:, i, j] = s2[:, col].astype(np.float64)
+        m[:, j, i] = s2[:, col].astype(np.float64)
+    return m
+
+
+def covariance(count, s1, s2, voxelsize=None) -> np.ndarray:
+    """Population covariance of voxel coordinates per label, [N, D, D] f64.
+
+    cov_ij = Σcᵢcⱼ/n − (Σcᵢ/n)(Σcⱼ/n), scaled by voxelsize_i·voxelsize_j when
+    physical units are requested. The canonical op ordering here is the parity
+    contract for ``:: inertia_axis``.
+    """
+    ndim = s1.shape[1]
+    n = count.astype(np.float64)
+    m2 = second_moment_matrix(s2, ndim)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s1.astype(np.float64) / n[:, None]
+        cov = m2 / n[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    if voxelsize is not None:
+        v = np.asarray(voxelsize, dtype=np.float64)
+        cov = cov * (v[:, None] * v[None, :])[None, :, :]
+    return cov
+
+
+def inertia_axes(
+    count, s1, s2, voxelsize=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Principal axes per label: (eigenvalues desc [N,D], eigenvectors [N,D,D]).
+
+    ``eigenvectors[k, a]`` (row a) is the axis for eigenvalue ``a``. Canonical
+    sign: the largest-|component| of each eigenvector is made positive
+    (SURVEY.md §7 hard part #2 — eigen sign/order ambiguity).
+    Labels with count == 0 get NaN rows.
+    """
+    cov = covariance(count, s1, s2, voxelsize)
+    n, d = s1.shape
+    evals = np.full((n, d), np.nan)
+    evecs = np.full((n, d, d), np.nan)
+    ok = count > 0
+    if np.any(ok):
+        w, v = np.linalg.eigh(cov[ok])  # ascending
+        w = w[:, ::-1]
+        v = v[:, :, ::-1]  # columns reordered to descending
+        v = np.swapaxes(v, 1, 2)  # rows = axes
+        # canonical sign
+        idx = np.argmax(np.abs(v), axis=2)
+        signs = np.sign(
+            np.take_along_axis(v, idx[:, :, None], axis=2)[:, :, 0]
+        )
+        signs[signs == 0] = 1.0
+        v = v * signs[:, :, None]
+        evals[ok] = w
+        evecs[ok] = v
+    return evals, evecs

@@ -1,0 +1,10 @@
+from tissue_analysis_tpu.graph.property_graph import (  # noqa: F401
+    PropertyGraph,
+    TemporalPropertyGraph,
+)
+from tissue_analysis_tpu.graph.from_image import graph_from_image  # noqa: F401
+from tissue_analysis_tpu.graph.temporal import (  # noqa: F401
+    exist_relative_at_rank,
+    relative_temporal_change,
+    temporal_change,
+)

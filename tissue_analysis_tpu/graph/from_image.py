@@ -1,0 +1,155 @@
+"""graph_from_image — labeled image → cell PropertyGraph.
+
+Parity target: ``graphs_from_image.py :: graph_from_image`` (SURVEY.md §2.1
+row 7, §3.5): vertices = cells, edges = shared walls; vertex properties
+``volume, barycenter, boundingbox, border, L1, inertia_axis,
+epidermis_surface`` (the last for L1 cells only); edge property
+``wall_surface``; ``label2vertex``/``vertex2label`` maps stored as graph
+properties. Here the whole thing is served from ONE fused device pass
+instead of one full-image pass per property.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from tissue_analysis_tpu.core.stack import LabeledStack
+from tissue_analysis_tpu.engine import analyze_stack
+from tissue_analysis_tpu.graph.property_graph import PropertyGraph
+
+__all__ = ["graph_from_image", "generate_graph_topology", "DEFAULT_PROPERTIES"]
+
+DEFAULT_PROPERTIES = (
+    "volume",
+    "barycenter",
+    "boundingbox",
+    "border",
+    "L1",
+    "inertia_axis",
+    "epidermis_surface",
+    "wall_surface",
+)
+
+
+def generate_graph_topology(labels: Sequence[int], neighborhood) -> PropertyGraph:
+    """Topology only: one vertex per label, one edge per unordered neighbor
+    pair (``:: generate_graph_topology`` [M])."""
+    graph = PropertyGraph()
+    label2vertex = {}
+    for l in labels:
+        label2vertex[l] = graph.add_vertex()
+    labelset = set(labels)
+    for l in labels:
+        for nb in neighborhood.get(l, []):
+            if nb in labelset and l < nb:
+                graph.add_edge(label2vertex[l], label2vertex[nb])
+    graph.add_graph_property("label2vertex", label2vertex)
+    graph.add_graph_property(
+        "vertex2label", {v: k for k, v in label2vertex.items()}
+    )
+    return graph
+
+
+def graph_from_image(
+    image,
+    labels: Optional[Sequence[int]] = None,
+    background: int = 1,
+    default_properties: Iterable[str] = DEFAULT_PROPERTIES,
+    default_real_property: bool = True,
+    bbox_as_real: bool = False,
+    min_contact_area: Optional[float] = None,
+    ignoredlabels: Iterable[int] = (),
+    remove_stack_margins_cells: bool = False,
+) -> PropertyGraph:
+    stack = LabeledStack.from_array(
+        image,
+        voxelsize=getattr(image, "voxelsize", None),
+        background=background,
+    )
+    table = analyze_stack(stack)
+    ignored = set(int(i) for i in ignoredlabels) | {background}
+
+    if remove_stack_margins_cells:
+        ignored |= set(table.margin_labels()) - {background}
+
+    if labels is None:
+        labels = [int(l) for l in sorted(table.ids) if int(l) not in ignored]
+    else:
+        labels = [int(l) for l in labels if int(l) not in ignored]
+
+    adjacency = table.adjacency(min_contact_area=min_contact_area, real=True)
+    graph = generate_graph_topology(labels, adjacency)
+    label2vertex = graph.graph_property("label2vertex")
+
+    real = default_real_property
+    props = set(default_properties)
+    seg = {l: table.segment_of(l) for l in labels}
+    l1 = set(table.l1_labels())
+    margins = set(table.margin_labels())
+
+    if "volume" in props:
+        vol = table.volume(real=real)
+        graph.add_vertex_property(
+            "volume", {label2vertex[l]: float(vol[seg[l]]) for l in labels}
+        )
+    if "barycenter" in props:
+        bary = table.barycenter(real=real)
+        graph.add_vertex_property(
+            "barycenter", {label2vertex[l]: bary[seg[l]] for l in labels}
+        )
+    if "boundingbox" in props:
+        slices = table.bounding_slices()
+        if bbox_as_real:
+            v = np.asarray(table.voxelsize, np.float64)
+            bb = {
+                label2vertex[l]: tuple(
+                    (s.start * v[d], s.stop * v[d])
+                    for d, s in enumerate(slices[seg[l]])
+                )
+                for l in labels
+            }
+        else:
+            bb = {label2vertex[l]: slices[seg[l]] for l in labels}
+        graph.add_vertex_property("boundingbox", bb)
+    if "border" in props:
+        graph.add_vertex_property(
+            "border", {label2vertex[l]: l in margins for l in labels}
+        )
+    if "L1" in props:
+        graph.add_vertex_property(
+            "L1", {label2vertex[l]: l in l1 for l in labels}
+        )
+    if "inertia_axis" in props:
+        evals, evecs = table.inertia_axes(real=real)
+        graph.add_vertex_property(
+            "inertia_axis",
+            {label2vertex[l]: (evecs[seg[l]], evals[seg[l]]) for l in labels},
+        )
+    if "epidermis_surface" in props:
+        epi = table.epidermis_wall_area()
+        graph.add_vertex_property(
+            "epidermis_surface",
+            {label2vertex[l]: float(epi[seg[l]]) for l in labels if l in l1},
+        )
+    if "wall_surface" in props:
+        areas = table.pair_area_map() if real else {
+            tuple(sorted((int(table.ids[a]), int(table.ids[b])))): int(c)
+            for a, b, c in zip(
+                table.pair_lo, table.pair_hi, table.wall_voxel_face_totals()
+            )
+        }
+        wall_prop = graph.add_edge_property("wall_surface")
+        for eid in graph.edges():
+            va, vb = graph.edge_vertices(eid)
+            la = graph.graph_property("vertex2label")[va]
+            lb = graph.graph_property("vertex2label")[vb]
+            key = (min(la, lb), max(la, lb))
+            if key in areas:
+                wall_prop[eid] = areas[key]
+
+    graph.add_graph_property("voxelsize", tuple(table.voxelsize))
+    graph.add_graph_property("background", background)
+    graph.add_graph_property("shape", tuple(table.shape))
+    return graph

@@ -1,0 +1,229 @@
+"""Multi-chip z-slab sharding of the fused analysis pipeline.
+
+SURVEY.md §2.3 / §5 "long-context analogue": the rebuild's sequence axis is
+the z-axis of the voxel stack. Design (all XLA collectives over ICI — no
+custom transport):
+
+- the stack is sharded as contiguous z-slabs over a ``('z',)`` mesh axis
+  (``shard_map``, in_spec ``P('z')``);
+- the **moment sweep** needs no halo at all: slabs are contiguous in flat
+  order, so each device runs the exact same chunked kernel
+  (:func:`ops.segred.moment_chunks`) at its global flat offset and the
+  per-chunk partial tables concatenate along the chunk axis (out_spec
+  ``P('z')``) — bit-identical to the single-device sweep;
+- the **stencil sweep** needs a ONE-voxel halo only for the z axis: each
+  device `ppermute`s its first z-plane to the previous device (the ring-halo
+  exchange), which then counts the seam faces — "lower-z owner wins"
+  dedup. Pair-count tables merge with `psum`; compaction runs replicated;
+- timepoint batches ride an outer ``batch`` mesh axis / vmap (embarrassingly
+  parallel, DCN-friendly).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tissue_analysis_tpu.core.stack import LabeledStack
+from tissue_analysis_tpu.features.table import FeatureTable
+from tissue_analysis_tpu.ops import segred, stencil
+
+__all__ = ["make_mesh", "sharded_pipeline", "analyze_sharded"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "z") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _slab_kernel(slab, *, n_labels, shape, orig_z, chunk, max_pairs, n_dev):
+    """Per-device body under shard_map. ``slab``: int32 [Z/n, Y, X].
+
+    ``shape`` is the PADDED global shape (coordinate/flat-offset basis);
+    ``orig_z`` the unpadded z extent (margin semantics use the real faces).
+    """
+    n = n_labels
+    keyspace = n * n
+    me = jax.lax.axis_index("z")
+    slab_voxels = math.prod(slab.shape)
+
+    # ---- moments: same kernel as single-device, at the global flat offset
+    flat = segred.pad_flat(slab, n, chunk)
+    tables, cmin, cmax = segred.moment_chunks(
+        flat, me * slab_voxels, shape, n, chunk
+    )
+
+    # ---- stencil: in-slab faces for every axis; z seam via ring halo
+    def face_counts(a, b, valid):
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        key = jnp.where((a != b) & valid, lo * n + hi, keyspace)
+        t = jax.ops.segment_sum(
+            jnp.ones(key.shape, jnp.int32), key.reshape(-1),
+            num_segments=keyspace + 1,
+        )
+        return t[:keyspace]
+
+    per_axis = []
+    for d in range(slab.ndim):
+        size = slab.shape[d]
+        a = jax.lax.slice_in_dim(slab, 0, size - 1, axis=d)
+        b = jax.lax.slice_in_dim(slab, 1, size, axis=d)
+        # pad planes carry the value n (dropped): valid = both real labels
+        per_axis.append(face_counts(a, b, (a < n) & (b < n)))
+
+    # seam: receive the NEXT slab's first z-plane; count faces against my
+    # last plane (devices 0..n_dev-2 own their upper seam)
+    first_plane = slab[0]
+    from_next = jax.lax.ppermute(
+        first_plane, "z", perm=[(i, i - 1) for i in range(1, n_dev)]
+    )
+    last_plane = slab[-1]
+    seam_valid = (me < n_dev - 1) & (last_plane < n) & (from_next < n)
+    per_axis[0] = per_axis[0] + face_counts(last_plane, from_next, seam_valid)
+
+    per_axis = [jax.lax.psum(c, "z") for c in per_axis]
+
+    # ---- compaction (replicated on every device)
+    tot = per_axis[0]
+    for c in per_axis[1:]:
+        tot = tot + c
+    nz = tot > 0
+    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    n_pairs = pos[-1] + 1
+    tgt = jnp.where(nz, pos, max_pairs)
+    keys = jnp.arange(keyspace, dtype=jnp.int32)
+    pair_lo = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys // n, mode="drop")
+    pair_hi = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys % n, mode="drop")
+    counts = (
+        jnp.zeros((max_pairs, slab.ndim), jnp.int32)
+        .at[tgt]
+        .set(jnp.stack(per_axis, axis=1), mode="drop")
+    )
+
+    # ---- margins: y/x boundary planes on every slab; z boundaries are the
+    # REAL global faces (plane 0 on device 0; plane orig_z-1 wherever it
+    # lives — with z padding the last slabs may be entirely pad)
+    slab_z = slab.shape[0]
+    loc_last = (orig_z - 1) - me * slab_z
+    has_last = (loc_last >= 0) & (loc_last < slab_z)
+    plane_last = jax.lax.dynamic_index_in_dim(
+        slab, jnp.clip(loc_last, 0, slab_z - 1), axis=0, keepdims=False
+    )
+    planes = [
+        jnp.where(me == 0, slab[0], n).reshape(-1),
+        jnp.where(has_last, plane_last, n).reshape(-1),
+    ]
+    for d in range(1, slab.ndim):
+        planes.append(jax.lax.index_in_dim(slab, 0, axis=d).reshape(-1))
+        planes.append(
+            jax.lax.index_in_dim(slab, slab.shape[d] - 1, axis=d).reshape(-1)
+        )
+    boundary = jnp.concatenate(planes)
+    present = jax.ops.segment_max(
+        jnp.ones_like(boundary), boundary, num_segments=n + 1
+    )[:n]
+    margin = jax.lax.psum(present, "z") > 0
+
+    return tables, cmin, cmax, pair_lo, pair_hi, counts, n_pairs, margin
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_labels", "chunk", "max_pairs", "mesh"),
+)
+def sharded_pipeline(dense, n_labels, chunk, max_pairs, mesh):
+    """Full fused pipeline over a z-sharded stack. Returns the same partial
+    tables as the single-device path (chunk axis concatenated over devices).
+    """
+    n_dev = mesh.shape["z"]
+    z = dense.shape[0]
+    zp = -(-z // n_dev) * n_dev
+    dense = dense.astype(jnp.int32)
+    if zp != z:
+        dense = jnp.pad(
+            dense,
+            ((0, zp - z),) + ((0, 0),) * (dense.ndim - 1),
+            constant_values=n_labels,
+        )
+    # IMPORTANT: coordinates must be derived from the PADDED shape so flat
+    # offsets per slab are right; pad voxels land in the dropped segment.
+    shape = tuple(dense.shape)
+
+    kernel = partial(
+        _slab_kernel,
+        n_labels=n_labels,
+        shape=shape,
+        orig_z=z,
+        chunk=chunk,
+        max_pairs=max_pairs,
+        n_dev=n_dev,
+    )
+    spec_in = P("z", *(None,) * (dense.ndim - 1))
+    fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=spec_in,
+        out_specs=(P("z"), P("z"), P("z"), P(), P(), P(), P(), P()),
+    )
+    return fn(dense)
+
+
+def analyze_sharded(
+    stack: LabeledStack,
+    mesh: Optional[Mesh] = None,
+    max_pairs: Optional[int] = None,
+    chunk: Optional[int] = None,
+) -> FeatureTable:
+    """Multi-device equivalent of :func:`engine.analyze_stack` — identical
+    outputs (bit-for-bit) with z-slab sharding over the mesh."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = stack.n_labels
+    # chunk bound and hi/lo split shift are functions of the PADDED shape —
+    # the sharded kernel derives coordinates from padded flat offsets
+    n_dev = mesh.shape["z"]
+    zp = -(-stack.shape[0] // n_dev) * n_dev
+    padded_shape = (zp,) + stack.shape[1:]
+    if chunk is None:
+        chunk = segred.pick_chunk(padded_shape)
+    if max_pairs is None:
+        max_pairs = stencil.default_max_pairs(n)
+
+    dense = jax.device_put(
+        stack.dense,
+        NamedSharding(mesh, P("z", *(None,) * (stack.ndim - 1))),
+    )
+    tables, cmin, cmax, pair_lo, pair_hi, counts, n_pairs, margin = (
+        sharded_pipeline(dense, n, chunk, max_pairs, mesh)
+    )
+    moments = segred.combine_moment_partials(
+        np.asarray(tables), np.asarray(cmin), np.asarray(cmax), padded_shape
+    )
+    n_pairs = int(n_pairs)
+    if n_pairs > max_pairs:
+        return analyze_sharded(stack, mesh=mesh, max_pairs=n_pairs, chunk=chunk)
+
+    return FeatureTable(
+        ids=stack.ids.copy(),
+        shape=stack.shape,
+        voxelsize=stack.voxelsize,
+        background_segment=stack.background_segment,
+        count=moments["count"],
+        s1=moments["s1"],
+        s2=moments["s2"],
+        cmin=moments["cmin"],
+        cmax=moments["cmax"],
+        pair_lo=np.asarray(pair_lo)[:n_pairs].astype(np.int32),
+        pair_hi=np.asarray(pair_hi)[:n_pairs].astype(np.int32),
+        wall_face_counts=np.asarray(counts)[:n_pairs].astype(np.int64),
+        margin=np.asarray(margin),
+    )
