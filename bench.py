@@ -1,0 +1,88 @@
+"""Benchmark: full per-cell feature table + adjacency graph on a 512³ stack.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "Mvoxels/s/chip", "vs_baseline": N}
+
+Baseline: the reference-semantics scipy pass measured at 0.63 Mvox/s on the
+512³/2037-cell stack (SURVEY.md §6 / BASELINE.md — host CPU, 213.1 s total).
+
+Timing is honest by construction: `analyze_stack` ends with host readback of
+every result table (`np.asarray`), so the wall-clock includes all device work
+and transfers (SURVEY.md §0.1: `block_until_ready` is unreliable on this
+platform; host readback is the only trustworthy fence).
+
+Env knobs: BENCH_SIZE (default 512), BENCH_CELLS (default 3500),
+BENCH_REPS (default 3), BENCH_CACHE (default /tmp/ta_bench_cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _get_stack(n: int, ncells: int, seed: int):
+    cache_dir = os.environ.get("BENCH_CACHE", "/tmp/ta_bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"voronoi_{n}_{ncells}_{seed}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["img"]
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+
+    img = np.asarray(voronoi_stack((n, n, n), ncells, seed=seed))
+    np.savez_compressed(path, img=img)
+    return img
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_SIZE", "512"))
+    ncells = int(os.environ.get("BENCH_CELLS", "3500"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    baseline_mvox_s = 0.63  # reference semantics, 512³ (BASELINE.md)
+
+    img = _get_stack(n, ncells, seed=1)
+
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.engine import analyze_stack
+    from tissue_analysis_tpu.graph.from_image import graph_from_table
+
+    stack = LabeledStack.from_array(img, background=1)
+    voxels = float(np.prod(stack.shape))
+
+    # warmup / compile (also takes the rerun-larger path if max_pairs grows)
+    table = analyze_stack(stack)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        table = analyze_stack(stack)
+        graph_from_table(table)  # property-graph export is part of the pass
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    mvox_s = voxels / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"full feature table + adjacency graph, {n}^3 stack, "
+                    f"{table.n_labels} labels / {table.n_pairs} walls"
+                ),
+                "value": round(mvox_s, 2),
+                "unit": "Mvoxels/s/chip",
+                "vs_baseline": round(mvox_s / baseline_mvox_s, 1),
+                "wall_s": round(best, 3),
+                "reps": reps,
+                "backend": __import__("jax").default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,12 +3,20 @@ imports, so sharding tests run everywhere (SURVEY.md §4 item 3)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding the env var — re-force CPU at the config level so the
+# 8-virtual-device mesh actually materializes (tests otherwise silently run
+# on the single TPU and every sharding test skips).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

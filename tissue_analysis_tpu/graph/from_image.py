@@ -17,9 +17,15 @@ import numpy as np
 
 from tissue_analysis_tpu.core.stack import LabeledStack
 from tissue_analysis_tpu.engine import analyze_stack
+from tissue_analysis_tpu.features.table import FeatureTable
 from tissue_analysis_tpu.graph.property_graph import PropertyGraph
 
-__all__ = ["graph_from_image", "generate_graph_topology", "DEFAULT_PROPERTIES"]
+__all__ = [
+    "graph_from_image",
+    "graph_from_table",
+    "generate_graph_topology",
+    "DEFAULT_PROPERTIES",
+]
 
 DEFAULT_PROPERTIES = (
     "volume",
@@ -69,6 +75,33 @@ def graph_from_image(
         background=background,
     )
     table = analyze_stack(stack)
+    return graph_from_table(
+        table,
+        labels=labels,
+        background=background,
+        default_properties=default_properties,
+        default_real_property=default_real_property,
+        bbox_as_real=bbox_as_real,
+        min_contact_area=min_contact_area,
+        ignoredlabels=ignoredlabels,
+        remove_stack_margins_cells=remove_stack_margins_cells,
+    )
+
+
+def graph_from_table(
+    table: FeatureTable,
+    labels: Optional[Sequence[int]] = None,
+    background: Optional[int] = None,
+    default_properties: Iterable[str] = DEFAULT_PROPERTIES,
+    default_real_property: bool = True,
+    bbox_as_real: bool = False,
+    min_contact_area: Optional[float] = None,
+    ignoredlabels: Iterable[int] = (),
+    remove_stack_margins_cells: bool = False,
+) -> PropertyGraph:
+    """Build the cell PropertyGraph from an already-computed FeatureTable."""
+    if background is None:
+        background = table.background_id
     ignored = set(int(i) for i in ignoredlabels) | {background}
 
     if remove_stack_margins_cells:
@@ -85,7 +118,8 @@ def graph_from_image(
 
     real = default_real_property
     props = set(default_properties)
-    seg = {l: table.segment_of(l) for l in labels}
+    id2seg = {int(l): s for s, l in enumerate(table.ids)}
+    seg = {l: id2seg[l] for l in labels}
     l1 = set(table.l1_labels())
     margins = set(table.margin_labels())
 

@@ -65,10 +65,9 @@ def _slab_kernel(slab, *, n_labels, shape, orig_z, chunk, max_pairs, n_dev):
     def face_counts(a, b, valid):
         lo = jnp.minimum(a, b)
         hi = jnp.maximum(a, b)
-        key = jnp.where((a != b) & valid, lo * n + hi, keyspace)
+        key = jnp.where((a != b) & valid, lo * n + hi, keyspace).reshape(-1)
         t = jax.ops.segment_sum(
-            jnp.ones(key.shape, jnp.int32), key.reshape(-1),
-            num_segments=keyspace + 1,
+            jnp.ones(key.shape, jnp.int32), key, num_segments=keyspace + 1
         )
         return t[:keyspace]
 
@@ -128,7 +127,9 @@ def _slab_kernel(slab, *, n_labels, shape, orig_z, chunk, max_pairs, n_dev):
             jax.lax.index_in_dim(slab, slab.shape[d] - 1, axis=d).reshape(-1)
         )
     boundary = jnp.concatenate(planes)
-    present = jax.ops.segment_max(
+    # segment_sum, NOT segment_max: segment_max fills absent segments with
+    # INT32_MIN, and psum-ing those across devices wraps int32 into garbage
+    present = jax.ops.segment_sum(
         jnp.ones_like(boundary), boundary, num_segments=n + 1
     )[:n]
     margin = jax.lax.psum(present, "z") > 0
@@ -138,23 +139,19 @@ def _slab_kernel(slab, *, n_labels, shape, orig_z, chunk, max_pairs, n_dev):
 
 @partial(
     jax.jit,
-    static_argnames=("n_labels", "chunk", "max_pairs", "mesh"),
+    static_argnames=("n_labels", "chunk", "max_pairs", "mesh", "orig_z"),
 )
-def sharded_pipeline(dense, n_labels, chunk, max_pairs, mesh):
-    """Full fused pipeline over a z-sharded stack. Returns the same partial
-    tables as the single-device path (chunk axis concatenated over devices).
+def sharded_pipeline(dense, n_labels, chunk, max_pairs, mesh, orig_z):
+    """Full fused pipeline over a z-sharded stack (already z-padded to a
+    multiple of the mesh size — padding must happen before `device_put`, an
+    uneven z-shard is rejected). ``orig_z`` is the unpadded z extent (margin
+    semantics use the real faces). Returns the same partial tables as the
+    single-device path (chunk axis concatenated over devices).
     """
     n_dev = mesh.shape["z"]
-    z = dense.shape[0]
-    zp = -(-z // n_dev) * n_dev
-    dense = dense.astype(jnp.int32)
-    if zp != z:
-        dense = jnp.pad(
-            dense,
-            ((0, zp - z),) + ((0, 0),) * (dense.ndim - 1),
-            constant_values=n_labels,
-        )
-    # IMPORTANT: coordinates must be derived from the PADDED shape so flat
+    if dense.shape[0] % n_dev:
+        raise ValueError("z extent must be padded to a multiple of mesh size")
+    # IMPORTANT: coordinates are derived from the PADDED shape so flat
     # offsets per slab are right; pad voxels land in the dropped segment.
     shape = tuple(dense.shape)
 
@@ -162,7 +159,7 @@ def sharded_pipeline(dense, n_labels, chunk, max_pairs, mesh):
         _slab_kernel,
         n_labels=n_labels,
         shape=shape,
-        orig_z=z,
+        orig_z=orig_z,
         chunk=chunk,
         max_pairs=max_pairs,
         n_dev=n_dev,
@@ -198,12 +195,20 @@ def analyze_sharded(
     if max_pairs is None:
         max_pairs = stencil.default_max_pairs(n)
 
+    dense = stack.dense.astype(jnp.int32)
+    z = stack.shape[0]
+    if zp != z:
+        dense = jnp.pad(
+            dense,
+            ((0, zp - z),) + ((0, 0),) * (stack.ndim - 1),
+            constant_values=n,
+        )
     dense = jax.device_put(
-        stack.dense,
+        dense,
         NamedSharding(mesh, P("z", *(None,) * (stack.ndim - 1))),
     )
     tables, cmin, cmax, pair_lo, pair_hi, counts, n_pairs, margin = (
-        sharded_pipeline(dense, n, chunk, max_pairs, mesh)
+        sharded_pipeline(dense, n, chunk, max_pairs, mesh, z)
     )
     moments = segred.combine_moment_partials(
         np.asarray(tables), np.asarray(cmin), np.asarray(cmax), padded_shape
