@@ -49,7 +49,9 @@ class SpatialImageAnalysis3D(AbstractSpatialImageAnalysis):
         lo, hi = min(s1, s2), max(s1, s2)
         sel = (t.pair_lo == lo) & (t.pair_hi == hi)
         if real:
-            return float(t.wall_face_counts[sel].astype(np.float64) @ t.face_areas())
+            return float(
+                (t.wall_face_counts[sel].astype(np.float64) @ t.face_areas()).sum()
+            )
         return int(t.wall_face_counts[sel].sum())
 
     def wall_surfaces(
@@ -96,12 +98,10 @@ class SpatialImageAnalysis3D(AbstractSpatialImageAnalysis):
             if t.background_segment is not None:
                 bg = t.background_segment
                 totals = t.wall_voxel_face_totals()
-                for k in range(t.n_pairs):
-                    a, b = int(t.pair_lo[k]), int(t.pair_hi[k])
-                    if a == bg:
-                        area_by_seg[b] += totals[k]
-                    elif b == bg:
-                        area_by_seg[a] += totals[k]
+                lo_bg = t.pair_lo == bg
+                hi_bg = t.pair_hi == bg
+                np.add.at(area_by_seg, t.pair_hi[lo_bg], totals[lo_bg])
+                np.add.at(area_by_seg, t.pair_lo[hi_bg], totals[hi_bg])
         if labels is None:
             req = [l for l in self.L1()]
         else:

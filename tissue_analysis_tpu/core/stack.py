@@ -98,22 +98,30 @@ class LabeledStack:
         if arr.ndim not in (2, 3):
             raise ValueError(f"expected 2D or 3D labeled image, got ndim={arr.ndim}")
 
-        ids, dense = np.unique(arr, return_inverse=True)
-        ids = ids.astype(np.int64)
-        dense = dense.reshape(arr.shape).astype(np.int32)
+        from tissue_analysis_tpu import native
 
-        background_segment: Optional[int] = None
-        if background is not None:
-            pos = np.searchsorted(ids, background)
-            if pos < ids.shape[0] and ids[pos] == background:
-                if pos != 0:
-                    # swap segment `pos` <-> 0 in both table and image
-                    remap = np.arange(ids.shape[0], dtype=np.int32)
-                    remap[0], remap[pos] = pos, 0
-                    dense = remap[dense]
-                    ids = ids.copy()
-                    ids[0], ids[pos] = ids[pos], ids[0]
-                background_segment = 0
+        nat = native.relabel(arr, background)
+        if nat is not None:
+            # C++ two-pass relabel (same segment convention as below:
+            # ids ascending, background swapped to position 0)
+            dense, ids, background_segment = nat
+        else:
+            ids, dense = np.unique(arr, return_inverse=True)
+            ids = ids.astype(np.int64)
+            dense = dense.reshape(arr.shape).astype(np.int32)
+
+            background_segment = None
+            if background is not None:
+                pos = np.searchsorted(ids, background)
+                if pos < ids.shape[0] and ids[pos] == background:
+                    if pos != 0:
+                        # swap segment `pos` <-> 0 in both table and image
+                        remap = np.arange(ids.shape[0], dtype=np.int32)
+                        remap[0], remap[pos] = pos, 0
+                        dense = remap[dense]
+                        ids = ids.copy()
+                        ids[0], ids[pos] = ids[pos], ids[0]
+                    background_segment = 0
 
         return cls(
             dense=jnp.asarray(dense),

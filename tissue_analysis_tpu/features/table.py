@@ -58,9 +58,15 @@ class FeatureTable:
             return None
         return int(self.ids[self.background_segment])
 
+    def _id2seg(self) -> Dict[int, int]:
+        m = getattr(self, "_id2seg_cache", None)
+        if m is None:
+            m = {int(l): s for s, l in enumerate(self.ids)}
+            object.__setattr__(self, "_id2seg_cache", m)
+        return m
+
     def segment_of(self, label) -> Optional[int]:
-        hits = np.nonzero(self.ids == label)[0]
-        return int(hits[0]) if hits.size else None
+        return self._id2seg().get(int(label))
 
     def _segments_of(self, labels: Sequence[int]) -> List[Optional[int]]:
         return [self.segment_of(l) for l in labels]
@@ -117,22 +123,30 @@ class FeatureTable:
         if min_contact_area is not None:
             meas = self.wall_areas() if real else self.wall_voxel_face_totals()
             keep = meas >= min_contact_area
+        la = self.ids[self.pair_lo[keep]]
+        lb = self.ids[self.pair_hi[keep]]
         nbh: Dict[int, List[int]] = {int(l): [] for l in self.ids}
-        for a, b in zip(self.pair_lo[keep], self.pair_hi[keep]):
-            la, lb = int(self.ids[a]), int(self.ids[b])
-            nbh[la].append(lb)
-            nbh[lb].append(la)
-        return {k: sorted(v) for k, v in nbh.items()}
+        # symmetric COO -> per-label sorted neighbor lists, vectorized
+        src = np.concatenate([la, lb])
+        dst = np.concatenate([lb, la])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        bounds = np.searchsorted(src, self.ids)
+        bounds = np.append(bounds, src.shape[0])
+        for i, l in enumerate(self.ids):
+            nbh[int(l)] = dst[bounds[i] : bounds[i + 1]].tolist()
+        return nbh
 
     def pair_area_map(self) -> Dict[Tuple[int, int], float]:
         """{(label_a, label_b) a<b in original-id order: real wall area}."""
         areas = self.wall_areas()
-        out: Dict[Tuple[int, int], float] = {}
-        for k in range(self.n_pairs):
-            la, lb = int(self.ids[self.pair_lo[k]]), int(self.ids[self.pair_hi[k]])
-            key = (la, lb) if la < lb else (lb, la)
-            out[key] = out.get(key, 0.0) + float(areas[k])
-        return out
+        la = self.ids[self.pair_lo]
+        lb = self.ids[self.pair_hi]
+        a = np.minimum(la, lb)
+        b = np.maximum(la, lb)
+        return {
+            (int(x), int(y)): float(v) for x, y, v in zip(a, b, areas)
+        }
 
     # ---------------------------------------------------- epidermis/margins
     def l1_segments(self) -> np.ndarray:
@@ -155,12 +169,10 @@ class FeatureTable:
             return out
         bg = self.background_segment
         areas = self.wall_areas()
-        for k in range(self.n_pairs):
-            a, b = int(self.pair_lo[k]), int(self.pair_hi[k])
-            if a == bg:
-                out[b] += areas[k]
-            elif b == bg:
-                out[a] += areas[k]
+        lo_is_bg = self.pair_lo == bg
+        hi_is_bg = self.pair_hi == bg
+        np.add.at(out, self.pair_hi[lo_is_bg], areas[lo_is_bg])
+        np.add.at(out, self.pair_lo[hi_is_bg], areas[hi_is_bg])
         return out
 
     def margin_labels(self) -> List[int]:
