@@ -1,0 +1,88 @@
+"""Blocked (scatter-free) engine vs chunked engine — bit-identical contract.
+
+The blocked engine (ops/blocked.py) must reproduce the chunked engine's
+FeatureTable exactly: same moments, same bbox, same pair COO in the same
+order, same margins (SURVEY.md §4 item 1 exactness bar applies between
+engines too, not just vs the scipy oracle).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from tissue_analysis_tpu.core.stack import LabeledStack
+from tissue_analysis_tpu.core.synthetic import (
+    single_cube_image,
+    two_slab_image,
+    voronoi_stack,
+)
+from tissue_analysis_tpu.engine import (
+    analyze_stack_blocked,
+    analyze_stack_chunked,
+)
+from tissue_analysis_tpu.ops.blocked import BlockConfig
+
+FIELDS = (
+    "count", "s1", "s2", "cmin", "cmax",
+    "pair_lo", "pair_hi", "wall_face_counts", "margin",
+)
+
+
+def assert_equal_tables(a, b):
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+
+
+def _cmp(img, background=1, cfg=None):
+    stack = LabeledStack.from_array(np.asarray(img), background=background)
+    a = analyze_stack_blocked(stack, cfg=cfg)
+    b = analyze_stack_chunked(stack)
+    assert_equal_tables(a, b)
+    return a
+
+
+@pytest.mark.parametrize(
+    "shape,ncells,seed",
+    [
+        ((32, 32, 32), 40, 0),
+        ((33, 37, 41), 30, 3),  # not block-divisible -> pad path
+        ((64, 64, 64), 120, 0),
+        ((16, 48, 80), 25, 5),  # anisotropic grid
+    ],
+)
+def test_blocked_equals_chunked(shape, ncells, seed):
+    _cmp(voronoi_stack(shape, ncells, seed=seed))
+
+
+def test_blocked_edge_cases():
+    _cmp(single_cube_image())
+    _cmp(two_slab_image(), background=None)
+
+
+def test_blocked_gapped_ids():
+    img = np.asarray(voronoi_stack((16, 16, 16), 10, seed=2)).astype(np.int64)
+    img[img > 1] += 100
+    img[img == 105] = 900
+    _cmp(img)
+
+
+def test_blocked_overflow_reruns():
+    # L=4 forces dictionary overflow; kp=2 forces pair-compaction overflow;
+    # max_pairs=2 forces the global rerun — all must converge to the same
+    # exact result
+    img = voronoi_stack((32, 32, 32), 40, seed=0)
+    cfg = BlockConfig(max_labels_per_block=4, max_pairs_per_block=2, max_pairs=2)
+    _cmp(img, cfg=cfg)
+
+
+def test_blocked_small_blocks():
+    img = voronoi_stack((24, 24, 24), 20, seed=1)
+    cfg = BlockConfig(block=(8, 8, 8), max_labels_per_block=16)
+    _cmp(img, cfg=cfg)
+
+
+def test_blocked_single_block():
+    img = voronoi_stack((16, 16, 16), 8, seed=4)
+    cfg = BlockConfig(block=(16, 16, 16))
+    _cmp(img, cfg=cfg)  # no seams at all

@@ -10,18 +10,100 @@ voxels again.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import numpy as np
 
 from tissue_analysis_tpu.core.stack import LabeledStack
 from tissue_analysis_tpu.features.table import FeatureTable
-from tissue_analysis_tpu.ops import segred, stencil
+from tissue_analysis_tpu.ops import blocked, segred, stencil
 
-__all__ = ["analyze", "analyze_stack"]
+__all__ = ["analyze", "analyze_stack", "analyze_stack_chunked"]
 
 
 def analyze_stack(
+    stack: LabeledStack,
+    max_pairs: Optional[int] = None,
+    chunk: Optional[int] = None,
+    engine: str = "auto",
+    block_config: Optional[blocked.BlockConfig] = None,
+) -> FeatureTable:
+    """Labeled stack → FeatureTable in one fused device pass.
+
+    engine='blocked' (default for 3D): the scatter-free block-local sweep
+    (ops/blocked.py). engine='chunked': the segment-scatter sweep — still
+    used for 2D images and as a fallback when the blocked engine's static
+    preconditions fail.
+    """
+    if engine == "auto":
+        engine = "blocked" if stack.ndim == 3 else "chunked"
+    if engine == "blocked":
+        try:
+            return analyze_stack_blocked(stack, cfg=block_config)
+        except ValueError:
+            # static precondition failed (huge label count / giant stack)
+            return analyze_stack_chunked(stack, max_pairs, chunk)
+    return analyze_stack_chunked(stack, max_pairs, chunk)
+
+
+def analyze_stack_blocked(
+    stack: LabeledStack, cfg: Optional[blocked.BlockConfig] = None
+) -> FeatureTable:
+    n = stack.n_labels
+    cfg = cfg or blocked.BlockConfig()
+    for _attempt in range(12):
+        (
+            table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
+        ), wshift = blocked.blocked_sweep(stack.dense, n, cfg)
+        if bool(dict_ovf):
+            cfg = dataclasses.replace(
+                cfg, max_labels_per_block=cfg.max_labels_per_block * 4
+            )
+            continue
+        if bool(pair_ovf):
+            cfg = dataclasses.replace(
+                cfg, max_pairs_per_block=cfg.max_pairs_per_block * 4
+            )
+            continue
+        if int(n_runs) > 3 * cfg.derived_max_pairs(n):
+            cfg = dataclasses.replace(cfg, max_pairs=-(-int(n_runs) // 3) + 16)
+            continue
+        moments = blocked.assemble_moments(
+            np.asarray(table), np.asarray(gmin), np.asarray(gmax), wshift
+        )
+        pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
+            np.asarray(skey), np.asarray(total), n
+        )
+        return FeatureTable(
+            ids=stack.ids.copy(),
+            shape=stack.shape,
+            voxelsize=stack.voxelsize,
+            background_segment=stack.background_segment,
+            count=moments["count"],
+            s1=moments["s1"],
+            s2=moments["s2"],
+            cmin=moments["cmin"],
+            cmax=moments["cmax"],
+            pair_lo=pair_lo,
+            pair_hi=pair_hi,
+            wall_face_counts=counts3,
+            margin=_margin_from_bbox(
+                moments["count"], moments["cmin"], moments["cmax"], stack.shape
+            ),
+        )
+    raise RuntimeError("blocked sweep failed to converge on buffer sizes")
+
+
+def _margin_from_bbox(count, cmin, cmax, shape) -> np.ndarray:
+    """A label touches an image face iff its bbox does (exact equivalence)."""
+    present = count > 0
+    lo = (cmin == 0).any(axis=1)
+    hi = (cmax == (np.asarray(shape, dtype=np.int64) - 1)).any(axis=1)
+    return present & (lo | hi)
+
+
+def analyze_stack_chunked(
     stack: LabeledStack,
     max_pairs: Optional[int] = None,
     chunk: Optional[int] = None,
@@ -44,7 +126,7 @@ def analyze_stack(
     if n_pairs > max_pairs:
         # static buffer overflowed — rerun with the exact size (SURVEY.md §7
         # hard part #1: rerun-larger path)
-        return analyze_stack(stack, max_pairs=n_pairs, chunk=chunk)
+        return analyze_stack_chunked(stack, max_pairs=n_pairs, chunk=chunk)
 
     return FeatureTable(
         ids=stack.ids.copy(),

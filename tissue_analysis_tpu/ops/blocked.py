@@ -1,0 +1,546 @@
+"""Block-local fused sweep — the scatter-free TPU engine.
+
+Replaces the chunked segment-scatter pipeline (``ops/segred.py`` +
+``ops/stencil.py``) for 3D stacks. Motivation (measured on the v5e): XLA
+lowers large ``segment_sum`` scatters to ~30 ns/element serial updates, so
+the 512³ sweeps cost ~4 s each. This engine never scatters anything big;
+it maps the whole problem onto reshapes, vector compares, MXU contractions,
+``top_k`` and small sorts:
+
+1.  Partition the stack into fixed blocks (default 32³). Per block, extract
+    the ≤ L distinct labels by **iterative masked min** (L vector passes, no
+    scatter) → per-block dictionary ``ids [B, L]`` (ascending, IMAX-padded).
+2.  One-hot ``OH [B, K, L]`` (bf16; 0/1 exact) against the dictionary.
+3.  **Moments**: axis-marginals of OH (sum over one block axis) give joint
+    (z,y), (z,x), (y,x) histograms per label; contracting them with
+    per-block GLOBAL-coordinate weight tables yields count, Σc, Σc·c — all
+    exact in int32 via hi/lo weight splitting, then hi/lo row splitting
+    before the (tiny,
+    B·L-row) global segment-sum, assembled exactly in int64 on the host.
+    This yields `volume`, `barycenter`, `boundingbox` (marginal support) and
+    the full second-moment matrix for `inertia_axis` in one sweep —
+    everything the reference computes in separate `nd.sum` /
+    `nd.center_of_mass` / `nd.find_objects` / per-label passes
+    (``spatial_image_analysis.py :: volume/center_of_mass/boundingbox/
+    inertia_axis``).
+4.  **Pairs** (``:: neighbors / cell_wall_surface / wall_surfaces``): for
+    each axis, face-adjacency counts are one-hot outer products
+    ``OH_aᵀ·OH_b → [B, L, L]`` on the MXU (in-block faces), plus seam-plane
+    cross-block matmuls (left block dictionary × right block dictionary).
+    Count matrices are compacted per block with ``top_k`` (packed
+    count·L²+key), mapped to global pair keys, and merged by a device
+    sort + segmented-run reduction — no N² keyspace, no scatter.
+5.  Margins (``:: cells_in_image_margins``) fall out of the bounding box on
+    the host: a label touches an image face iff its bbox does.
+
+All results are exact integers; float conversion happens in
+``features/finalize.py`` exactly as for the chunked engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BlockConfig", "blocked_sweep", "assemble_moments", "assemble_pairs"]
+
+_IMAX = np.int32(2**31 - 1)
+_SPLIT = 15  # row-value hi/lo split; safe while rows-per-segment ≤ 2^16
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    block: Tuple[int, int, int] = (32, 32, 32)
+    max_labels_per_block: int = 64  # L
+    max_pairs_per_block: int = 256  # kp (per axis, incl. seam groups)
+    max_pairs: int = 0  # 0 -> derived from n_labels
+    blocks_per_group: int = 0  # 0 -> derived (~2^28 bytes of one-hot live)
+
+    def derived_max_pairs(self, n_labels: int) -> int:
+        if self.max_pairs:
+            return self.max_pairs
+        # ~13.4 edges/cell measured on the 512³ Voronoi stack (SURVEY.md
+        # §0.1); 24·N headroom, generous floor for tiny tests
+        return max(2048, 24 * n_labels)
+
+
+def _grid(shape, block):
+    return tuple(-(-s // b) for s, b in zip(shape, block))
+
+
+def _pad_to_blocks(dense: jax.Array, n_labels: int, block) -> jax.Array:
+    pads = tuple(
+        (0, g * b - s) for s, b, g in zip(dense.shape, block, _grid(dense.shape, block))
+    )
+    if any(p[1] for p in pads):
+        dense = jnp.pad(dense, pads, constant_values=n_labels)
+    return dense
+
+
+def _blockify(dense: jax.Array, block) -> jax.Array:
+    """[Z,Y,X] -> [B, bz, by, bx] in (Gz, Gy, Gx) grid-major order."""
+    gz, gy, gx = _grid(dense.shape, block)
+    bz, by, bx = block
+    v = dense.reshape(gz, bz, gy, by, gx, bx)
+    v = v.transpose(0, 2, 4, 1, 3, 5)
+    return v.reshape(gz * gy * gx, bz, by, bx)
+
+
+def _block_dicts(vals: jax.Array, L: int):
+    """Iterative masked-min unique extraction.
+
+    vals [B, K] int32 -> ids [B, L] int32 ascending, padded with IMAX;
+    overflow [B] bool (block had > L distinct labels).
+    """
+    b, k = vals.shape
+
+    def body(mask, _):
+        m = jnp.min(jnp.where(mask, vals, _IMAX), axis=1)  # [B]
+        mask = mask & (vals != m[:, None])
+        return mask, m
+
+    mask0 = jnp.ones((b, k), dtype=bool)
+    mask, ids = jax.lax.scan(body, mask0, None, length=L)
+    return ids.T, jnp.any(mask, axis=1)
+
+
+def _weight_tables(block, offsets_zyx, axes: Tuple[int, int], wshift: int):
+    """Global-coordinate weight tables for one marginal plane.
+
+    For the marginal over plane axes (i, j) (block-local sizes bi, bj) the
+    features are [1, ci, ci², cj, cj², ci·cj] in GLOBAL coordinates, split
+    hi/lo at 2**wshift (coords < 2**wshift, so both parts < 2**wshift and
+    the block-level contraction Σ marginal·part ≤ K·2**wshift stays
+    int32-exact).
+    Returns W [B, bi·bj, 12] int32 (lo/hi interleaved per feature).
+    """
+    bi, bj = block[axes[0]], block[axes[1]]
+    oi = offsets_zyx[axes[0]][:, None, None]  # [B,1,1]
+    oj = offsets_zyx[axes[1]][:, None, None]
+    ci = jnp.arange(bi, dtype=jnp.int32)[None, :, None] + oi  # [B,bi,1]
+    cj = jnp.arange(bj, dtype=jnp.int32)[None, None, :] + oj  # [B,1,bj]
+    one = jnp.ones_like(ci + cj)
+    feats = [one, ci * one, ci * ci * one, cj * one, cj * cj * one, ci * cj]
+    cols = []
+    wmask = (1 << wshift) - 1
+    for f in feats:
+        cols.append(f & wmask)
+        cols.append(f >> wshift)
+    w = jnp.stack([jnp.broadcast_to(c, ci.shape[:1] + (bi, bj)) for c in cols], -1)
+    return w.reshape(w.shape[0], bi * bj, len(cols))
+
+
+def _split_rows(v: jax.Array) -> jax.Array:
+    """Interleave (lo, hi) int32 parts of the last axis at 2**_SPLIT."""
+    lo = v & ((1 << _SPLIT) - 1)
+    hi = v >> _SPLIT
+    return jnp.stack([lo, hi], axis=-1).reshape(*v.shape[:-1], v.shape[-1] * 2)
+
+
+def _marginal_moments(oh, block, offsets_zyx, wshift):
+    """Per-(block, local label) exact global-coordinate moment columns.
+
+    oh: [B, bz, by, bx, L] bf16 one-hot.
+    Returns (cols [B, L, C] int32 hi/lo-split rows, bbox (cmin, cmax)
+    [B, L, 3] int32 with IMAX/-1 sentinels for absent slots).
+    """
+    bz, by, bx = block
+    bN = oh.shape[0]
+    L = oh.shape[-1]
+
+    # marginals: sum over the remaining axis (f32 accumulation is exact:
+    # counts ≤ block extent ≤ 2^9 ≪ 2^24), then int32
+    m_zy = jnp.sum(oh, axis=3, dtype=jnp.float32).astype(jnp.int32)  # [B,bz,by,L]
+    m_zx = jnp.sum(oh, axis=2, dtype=jnp.float32).astype(jnp.int32)  # [B,bz,bx,L]
+    m_yx = jnp.sum(oh, axis=1, dtype=jnp.float32).astype(jnp.int32)  # [B,by,bx,L]
+
+    def contract(marg, axes):
+        w = _weight_tables(block, offsets_zyx, axes, wshift)
+        m2 = marg.reshape(bN, -1, L)
+        # [B, P, L]ᵀ·[B, P, C]: per-block Σ marginal·weight, exact int32
+        return jax.lax.dot_general(
+            m2, w, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+        )  # [B, L, C]
+
+    zy = contract(m_zy, (0, 1))  # count,z,z²,y,y²,zy (lo/hi pairs)
+    zx = contract(m_zx, (0, 2))  # count,z,z²,x,x²,zx
+    yx = contract(m_yx, (1, 2))  # count,y,y²,x,x²,yx
+
+    # assemble distinct features (lo,hi) per row, weights-merge on host:
+    # order: count, Σz, Σz², Σy, Σy², Σzy, Σx, Σx², Σzx, Σyx  (10 features,
+    # each as weight-lo and weight-hi int32 columns)
+    def fpair(t, i):
+        return t[..., 2 * i : 2 * i + 2]
+
+    cols = jnp.concatenate(
+        [
+            fpair(zy, 0),  # count (hi column is all zero)
+            fpair(zy, 1), fpair(zy, 2),  # Σz, Σz²
+            fpair(zy, 3), fpair(zy, 4),  # Σy, Σy²
+            fpair(zy, 5),  # Σzy
+            fpair(zx, 3), fpair(zx, 4),  # Σx, Σx²
+            fpair(zx, 5),  # Σzx
+            fpair(yx, 5),  # Σyx
+        ],
+        axis=-1,
+    )  # [B, L, 20]
+    cols = _split_rows(cols)  # [B, L, 40] safe for ≤2^16-row segment sums
+
+    # bbox from marginal support, global coords
+    def support_minmax(marg, axis_len, offset):
+        pres = marg > 0  # [B, n, L]
+        c = jnp.arange(axis_len, dtype=jnp.int32)[None, :, None] + offset[:, None, None]
+        cmin = jnp.min(jnp.where(pres, c, _IMAX), axis=1)
+        cmax = jnp.max(jnp.where(pres, c, -1), axis=1)
+        return cmin, cmax
+
+    z_supp = jnp.sum(m_zy, axis=2)  # [B,bz,L]
+    y_supp = jnp.sum(m_zy, axis=1)  # [B,by,L]
+    x_supp = jnp.sum(m_zx, axis=1)  # [B,bx,L]
+    mins, maxs = [], []
+    for supp, ln, off in (
+        (z_supp, bz, offsets_zyx[0]),
+        (y_supp, by, offsets_zyx[1]),
+        (x_supp, bx, offsets_zyx[2]),
+    ):
+        mn, mx = support_minmax(supp, ln, off)
+        mins.append(mn)
+        maxs.append(mx)
+    cmin = jnp.stack(mins, axis=-1)  # [B, L, 3]
+    cmax = jnp.stack(maxs, axis=-1)
+    return cols, cmin, cmax
+
+
+def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
+    """[Bm, L, L] count matrices -> (gkey [Bm*kp], count [Bm*kp]) via top_k.
+
+    Keys with either id missing/pad (== n_labels or IMAX) or equal ids map
+    to the sentinel key n², dropped later. Returns also per-matrix overflow
+    (more than kp nonzero entries).
+    """
+    bm, L, _ = mats.shape
+    n = n_labels
+    flat = mats.reshape(bm, L * L)
+    nz = jnp.sum((flat > 0).astype(jnp.int32), axis=1)
+    overflow = nz > kp
+    # pack: count·L² + localkey  (count < 2^31 / L²  — block faces ≪ that)
+    packed = jnp.where(flat > 0, flat * (L * L) + jnp.arange(L * L, dtype=jnp.int32), 0)
+    top, _idx = jax.lax.top_k(packed, kp)  # [Bm, kp]
+    count = top // (L * L)
+    lk = top % (L * L)
+    ga = jnp.take_along_axis(row_ids, lk // L, axis=1)  # [Bm, kp]
+    gb = jnp.take_along_axis(col_ids, lk % L, axis=1)
+    ga = jnp.where(ga == _IMAX, n, ga)
+    gb = jnp.where(gb == _IMAX, n, gb)
+    lo = jnp.minimum(ga, gb)
+    hi = jnp.maximum(ga, gb)
+    valid = (count > 0) & (lo != hi) & (hi < n)
+    gkey = jnp.where(valid, lo * n + hi, n * n)
+    count = jnp.where(valid, count, 0)
+    return gkey.reshape(-1), count.reshape(-1), overflow
+
+
+def _sorted_pair_reduce(gkeys, counts, axes_tag, n_labels, max_entries):
+    """Merge (key, axis, count) triples without scatter.
+
+    Sort by skey = gkey·4 + axis; segmented-run totals via cumsum diff;
+    second sort brings run boundaries to the front; slice max_entries.
+    Returns (skey [max_entries], total [max_entries], n_runs).
+    """
+    n = n_labels
+    sentinel = n * n * 4 + 3
+    skey = jnp.where(gkeys < n * n, gkeys * 4 + axes_tag, sentinel)
+    skey, counts = jax.lax.sort((skey, counts), num_keys=1)
+    cs = jnp.cumsum(counts)
+    m = skey.shape[0]
+    is_last = jnp.concatenate([skey[1:] != skey[:-1], jnp.array([True])])
+    is_last = is_last & (skey < sentinel)
+    prev_cs = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs[:-1]])
+    # total of run ending at i = cs[i] - cs[last index of previous run]
+    # compute cs at previous boundary via max-scan of (is_last ? cs : 0)…
+    # simpler: run start totals: for boundary i, subtract cs[j] where j is
+    # the previous boundary. Use jnp.where trick with segmented cummax:
+    bmark = jnp.where(is_last, cs, 0)
+    prev_boundary_cs = jnp.concatenate(
+        [jnp.zeros((1,), cs.dtype), jax.lax.cummax(bmark)[:-1]]
+    )
+    total = jnp.where(is_last, cs - prev_boundary_cs, 0)
+    n_runs = jnp.sum(is_last.astype(jnp.int32))
+    order_key = jnp.where(is_last, skey, sentinel)
+    order_key, total = jax.lax.sort((order_key, total), num_keys=1)
+    return order_key[:max_entries], total[:max_entries], n_runs
+
+
+def _face_matmul(a, b, L):
+    """[Bm, P, L]ᵀ·[Bm, P, L] face-count matrices on the MXU (bf16 exact)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+
+
+def _group_pad(arr, group, pad_value):
+    """Pad leading axis to a multiple of `group` and fold into
+    [n_groups, group, ...]."""
+    bN = arr.shape[0]
+    ng = -(-bN // group)
+    pad = ng * group - bN
+    if pad:
+        arr = jnp.concatenate(
+            [arr, jnp.full((pad,) + arr.shape[1:], pad_value, arr.dtype)]
+        )
+    return arr.reshape((ng, group) + arr.shape[1:])
+
+
+def _seam_slabs(dense, block, axis):
+    """Extract seam tiles for one axis: [S, 2, t0, t1] label slabs.
+
+    For axis d with block extent b: planes (k·b-1, k·b), k = 1..g-1, tiled
+    by the other two block extents, grid-major like `_blockify` so seam s
+    maps back to its (left grid cell, right grid cell) statically.
+    """
+    g = _grid(dense.shape, block)
+    b = block[axis]
+    take_left = [slice(None)] * 3
+    take_left[axis] = slice(b - 1, None, b)
+    take_right = [slice(None)] * 3
+    take_right[axis] = slice(b, None, b)
+    left = dense[tuple(take_left)]
+    right = dense[tuple(take_right)]
+    ns = g[axis] - 1
+    sl = [slice(None)] * 3
+    sl[axis] = slice(0, ns)
+    left = left[tuple(sl)]
+    # move the seam axis first, pair the two planes
+    perm = (axis,) + tuple(d for d in range(3) if d != axis)
+    left = jnp.transpose(left, perm)  # [ns, S0, S1]
+    right = jnp.transpose(right, perm)
+    other = [d for d in range(3) if d != axis]
+    t0, t1 = block[other[0]], block[other[1]]
+    g0, g1 = g[other[0]], g[other[1]]
+    pair = jnp.stack([left, right], axis=1)  # [ns, 2, S0, S1]
+    pair = pair.reshape(ns, 2, g0, t0, g1, t1)
+    pair = pair.transpose(0, 2, 4, 1, 3, 5)  # [ns, g0, g1, 2, t0, t1]
+    return pair.reshape(ns * g0 * g1, 2, t0, t1)
+
+
+def _build_sweep(shape, n_labels, cfg: BlockConfig):
+    """Construct the jitted sweep for a static (shape, n_labels, cfg).
+
+    The whole pass is organized as `lax.map` over groups of blocks so the
+    one-hot tensors (the big intermediates: ~K·L bytes per block) never
+    exceed ~group·K·L bytes of live HBM — the ungrouped version OOMs a
+    single v5e chip at 512³.
+    """
+    block = cfg.block
+    L = cfg.max_labels_per_block
+    kp = cfg.max_pairs_per_block
+    gz, gy, gx = _grid(shape, block)
+    bz, by, bx = block
+    K = bz * by * bx
+    bN = gz * gy * gx
+    n = n_labels
+    max_entries = 3 * cfg.derived_max_pairs(n)
+    if n * n * 4 + 3 > int(_IMAX):
+        raise ValueError(
+            f"n_labels={n} exceeds the int32 pair-key space of the blocked "
+            "engine; use the chunked engine"
+        )
+    padded = tuple(g * b for g, b in zip((gz, gy, gx), block))
+    # coords < 2**wshift; K·2**wshift must stay int32-exact
+    wshift = max(int(s - 1).bit_length() for s in padded)
+    if K << wshift > int(_IMAX):
+        raise ValueError("stack too large for exact int32 block contraction")
+    if K * L * L > int(_IMAX):
+        raise ValueError(
+            "count·L² pair packing would overflow int32; reduce block size "
+            "or max_labels_per_block"
+        )
+
+    group = cfg.blocks_per_group or max(1, (1 << 28) // (K * L))
+    group = min(group, bN)
+
+    # block offsets in grid-major order
+    ozz, oyy, oxx = np.meshgrid(
+        np.arange(gz) * bz, np.arange(gy) * by, np.arange(gx) * bx, indexing="ij"
+    )
+    offs = np.stack(
+        [ozz.reshape(-1), oyy.reshape(-1), oxx.reshape(-1)], axis=1
+    ).astype(np.int32)
+
+    def main_group(args):
+        vb, off = args  # [G, bz, by, bx], [G, 3]
+        g_here = vb.shape[0]
+        vals = vb.reshape(g_here, K)
+        ids, dovf = _block_dicts(vals, L)
+        oh = (vb[..., None] == ids[:, None, None, None, :]).astype(jnp.bfloat16)
+        cols, cmin, cmax = _marginal_moments(
+            oh, block, (off[:, 0], off[:, 1], off[:, 2]), wshift
+        )
+        gks, cts, tgs = [], [], []
+        povf = jnp.zeros((), dtype=bool)
+        slicers = [
+            (lambda t: t[:, :-1], lambda t: t[:, 1:]),  # z
+            (lambda t: t[:, :, :-1], lambda t: t[:, :, 1:]),  # y
+            (lambda t: t[:, :, :, :-1], lambda t: t[:, :, :, 1:]),  # x
+        ]
+        for ax, (sa, sb) in enumerate(slicers):
+            a = sa(oh).reshape(g_here, -1, L)
+            b = sb(oh).reshape(g_here, -1, L)
+            mats = _face_matmul(a, b, L)
+            gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+            gks.append(gk)
+            cts.append(ct)
+            tgs.append(jnp.full(gk.shape, ax, jnp.int32))
+            povf = povf | jnp.any(ov)
+        return (
+            ids, cols, cmin, cmax,
+            jnp.concatenate(gks), jnp.concatenate(cts), jnp.concatenate(tgs),
+            dovf.any(), povf,
+        )
+
+    def seam_group(axis):
+        def body(args):
+            tiles, lref, rref = args  # [G, 2, t0, t1], [G], [G]
+            g_here = tiles.shape[0]
+            ks = math.prod(tiles.shape[1:])
+            vals = tiles.reshape(g_here, ks)
+            ids, dovf = _block_dicts(vals, L)
+            oh = (vals[..., None] == ids[:, None, :]).astype(jnp.bfloat16)
+            half = ks // 2
+            mats = _face_matmul(oh[:, :half], oh[:, half:], L)
+            gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+            return gk, ct, dovf.any(), jnp.any(ov)
+
+        return body
+
+    def sweep(dense):
+        dense = _pad_to_blocks(dense.astype(jnp.int32), n, block)
+        vb_all = _group_pad(_blockify(dense, block), group, n)
+        off_all = _group_pad(jnp.asarray(offs), group, 0)
+
+        ids, cols, cmin, cmax, gk0, ct0, tg0, dovf, povf = jax.lax.map(
+            main_group, (vb_all, off_all)
+        )
+        dict_overflow = jnp.any(dovf)
+        pair_overflow = jnp.any(povf)
+
+        nb_pad = ids.shape[0] * ids.shape[1]
+        ids = ids.reshape(nb_pad, L)
+        cols = cols.reshape(nb_pad * L, -1)
+        cmin = cmin.reshape(nb_pad * L, 3)
+        cmax = cmax.reshape(nb_pad * L, 3)
+
+        # ---- global moment combine: tiny segment ops over B·L rows
+        seg = jnp.where(ids == _IMAX, n, ids).reshape(-1)
+        table = jax.ops.segment_sum(cols, seg, num_segments=n + 1)[:n]
+        gmin = jax.ops.segment_min(cmin, seg, num_segments=n + 1)[:n]
+        gmax = jax.ops.segment_max(cmax, seg, num_segments=n + 1)[:n]
+
+        gkeys = [gk0.reshape(-1)]
+        counts = [ct0.reshape(-1)]
+        tags = [tg0.reshape(-1)]
+
+        # ---- seam passes: 2-plane slabs, same dictionary machinery
+        seam_group_sz = max(1, (1 << 27) // (2 * max(by * bx, bz * bx, bz * by) * L))
+        for axis in range(3):
+            if _grid(dense.shape, block)[axis] < 2:
+                continue
+            tiles = _seam_slabs(dense, block, axis)
+            s_here = tiles.shape[0]
+            tiles_g = _group_pad(tiles, min(seam_group_sz, s_here), n)
+            dummy = jnp.zeros(tiles_g.shape[:2], jnp.int32)
+            gk, ct, dovf_s, povf_s = jax.lax.map(
+                seam_group(axis), (tiles_g, dummy, dummy)
+            )
+            dict_overflow = dict_overflow | jnp.any(dovf_s)
+            pair_overflow = pair_overflow | jnp.any(povf_s)
+            gkeys.append(gk.reshape(-1))
+            counts.append(ct.reshape(-1))
+            tags.append(jnp.full((gk.size,), axis, jnp.int32))
+
+        gkeys = jnp.concatenate(gkeys)
+        counts = jnp.concatenate(counts)
+        tags = jnp.concatenate(tags)
+        skey, total, n_runs = _sorted_pair_reduce(gkeys, counts, tags, n, max_entries)
+
+        return (
+            table, gmin, gmax,
+            skey, total, n_runs,
+            dict_overflow, pair_overflow,
+        )
+
+    return jax.jit(sweep), wshift
+
+
+_SWEEP_CACHE: Dict[Tuple, any] = {}
+
+
+def blocked_sweep(dense: jax.Array, n_labels: int, cfg: Optional[BlockConfig] = None):
+    """Run the blocked sweep. Returns (device outputs tuple, wshift)."""
+    cfg = cfg or BlockConfig()
+    key = (tuple(dense.shape), n_labels, cfg)
+    entry = _SWEEP_CACHE.get(key)
+    if entry is None:
+        entry = _build_sweep(tuple(dense.shape), n_labels, cfg)
+        _SWEEP_CACHE[key] = entry
+    fn, wshift = entry
+    return fn(dense), wshift
+
+
+def assemble_moments(
+    table: np.ndarray, gmin: np.ndarray, gmax: np.ndarray, wshift: int
+) -> Dict[str, np.ndarray]:
+    """Host-side exact int64 assembly of the split moment columns.
+
+    table: [N, 40] int32 — 10 features × (weight-lo, weight-hi) × (row-lo,
+    row-hi); feature order: count, Σz, Σz², Σy, Σy², Σzy, Σx, Σx², Σzx, Σyx.
+    Returns dict in the same layout as `segred.combine_moment_partials`:
+    count, s1 [N,3], s2 [N,6] (order zz, zy, zx, yy, yx, xx — see
+    `features.finalize.tri_pairs`), cmin/cmax [N,3].
+    """
+    t = table.astype(np.int64)
+    feats = []
+    for f in range(10):
+        wlo_lo = t[:, 4 * f + 0]
+        wlo_hi = t[:, 4 * f + 1]
+        whi_lo = t[:, 4 * f + 2]
+        whi_hi = t[:, 4 * f + 3]
+        wlo = wlo_lo + (wlo_hi << _SPLIT)
+        whi = whi_lo + (whi_hi << _SPLIT)
+        feats.append(wlo + (whi << wshift))
+    count, sz, szz, sy, syy, szy, sx, sxx, szx, syx = feats
+    s1 = np.stack([sz, sy, sx], axis=1)
+    s2 = np.stack([szz, szy, szx, syy, syx, sxx], axis=1)
+    cmin = gmin.astype(np.int64)
+    cmax = gmax.astype(np.int64)
+    empty = count == 0
+    cmin[empty] = 0
+    cmax[empty] = 0
+    return {"count": count, "s1": s1, "s2": s2, "cmin": cmin, "cmax": cmax}
+
+
+def assemble_pairs(
+    skey: np.ndarray, total: np.ndarray, n_labels: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sorted skey, totals) -> pair_lo, pair_hi, per-axis face counts.
+
+    skey = gkey·4 + axis with gkey = lo·n + hi; sentinel entries are
+    ≥ 4·n² and dropped.
+    """
+    n = n_labels
+    valid = skey < n * n * 4
+    skey = skey[valid].astype(np.int64)
+    total = total[valid].astype(np.int64)
+    gk = skey >> 2
+    ax = skey & 3
+    # runs of identical gk are adjacent (sorted); build [E, 3]
+    uniq, inv = np.unique(gk, return_inverse=True)
+    counts3 = np.zeros((uniq.shape[0], 3), dtype=np.int64)
+    np.add.at(counts3, (inv, ax), total)
+    return (uniq // n).astype(np.int32), (uniq % n).astype(np.int32), counts3
