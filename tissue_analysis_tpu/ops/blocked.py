@@ -105,7 +105,9 @@ def _block_dicts(vals: jax.Array, L: int):
         mask = mask & (vals != m[:, None])
         return mask, m
 
-    mask0 = jnp.ones((b, k), dtype=bool)
+    # vals == vals (always True) instead of jnp.ones: inherits the input's
+    # device-varying axes so the scan carry typechecks under shard_map
+    mask0 = vals == vals
     mask, ids = jax.lax.scan(body, mask0, None, length=L)
     return ids.T, jnp.any(mask, axis=1)
 
@@ -329,29 +331,19 @@ def _seam_slabs(dense, block, axis):
     return pair.reshape(ns * g0 * g1, 2, t0, t1)
 
 
-def _build_sweep(shape, n_labels, cfg: BlockConfig):
-    """Construct the jitted sweep for a static (shape, n_labels, cfg).
-
-    The whole pass is organized as `lax.map` over groups of blocks so the
-    one-hot tensors (the big intermediates: ~K·L bytes per block) never
-    exceed ~group·K·L bytes of live HBM — the ungrouped version OOMs a
-    single v5e chip at 512³.
-    """
+def _check_static(shape, n_labels, cfg: BlockConfig) -> int:
+    """Validate static preconditions; returns wshift for `shape` (the
+    GLOBAL padded shape — coordinate exactness is a global property)."""
     block = cfg.block
     L = cfg.max_labels_per_block
-    kp = cfg.max_pairs_per_block
-    gz, gy, gx = _grid(shape, block)
-    bz, by, bx = block
-    K = bz * by * bx
-    bN = gz * gy * gx
+    K = math.prod(block)
     n = n_labels
-    max_entries = 3 * cfg.derived_max_pairs(n)
     if n * n * 4 + 3 > int(_IMAX):
         raise ValueError(
             f"n_labels={n} exceeds the int32 pair-key space of the blocked "
             "engine; use the chunked engine"
         )
-    padded = tuple(g * b for g, b in zip((gz, gy, gx), block))
+    padded = tuple(g * b for g, b in zip(_grid(shape, block), block))
     # coords < 2**wshift; K·2**wshift must stay int32-exact
     wshift = max(int(s - 1).bit_length() for s in padded)
     if K << wshift > int(_IMAX):
@@ -361,11 +353,38 @@ def _build_sweep(shape, n_labels, cfg: BlockConfig):
             "count·L² pair packing would overflow int32; reduce block size "
             "or max_labels_per_block"
         )
+    return wshift
+
+
+def _build_slab_fns(slab_shape, n_labels, cfg: BlockConfig, wshift: int):
+    """Reusable slab-level passes for a static (slab_shape, n_labels, cfg).
+
+    Returns (main, cross_seam):
+      main(dense_slab, z_off) -> (ids [Bs, L], cols, cmin, cmax,
+                                  gkeys, counts, tags, dict_ovf, pair_ovf)
+        — the full in-slab pass (moments, bbox, in-block + in-slab seam
+        pairs), with all z coordinates offset by the traced scalar z_off.
+      cross_seam(left_plane, right_plane) -> (gk, ct, dovf, povf)
+        — the pair pass for one z-seam between two [Y, X] label planes
+        (used for the slab↔slab halo under sharding).
+
+    Both are organized as `lax.map` over groups of blocks so the one-hot
+    tensors (~K·L bytes per block) never exceed ~group·K·L live HBM bytes —
+    the ungrouped version OOMs a single v5e chip at 512³.
+    """
+    block = cfg.block
+    L = cfg.max_labels_per_block
+    kp = cfg.max_pairs_per_block
+    gz, gy, gx = _grid(slab_shape, block)
+    bz, by, bx = block
+    K = bz * by * bx
+    bN = gz * gy * gx
+    n = n_labels
 
     group = cfg.blocks_per_group or max(1, (1 << 28) // (K * L))
     group = min(group, bN)
 
-    # block offsets in grid-major order
+    # block offsets in grid-major order (slab-local; z_off added at trace)
     ozz, oyy, oxx = np.meshgrid(
         np.arange(gz) * bz, np.arange(gy) * by, np.arange(gx) * bx, indexing="ij"
     )
@@ -404,76 +423,107 @@ def _build_sweep(shape, n_labels, cfg: BlockConfig):
             dovf.any(), povf,
         )
 
-    def seam_group(axis):
-        def body(args):
-            tiles, lref, rref = args  # [G, 2, t0, t1], [G], [G]
-            g_here = tiles.shape[0]
-            ks = math.prod(tiles.shape[1:])
-            vals = tiles.reshape(g_here, ks)
-            ids, dovf = _block_dicts(vals, L)
-            oh = (vals[..., None] == ids[:, None, :]).astype(jnp.bfloat16)
-            half = ks // 2
-            mats = _face_matmul(oh[:, :half], oh[:, half:], L)
-            gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
-            return gk, ct, dovf.any(), jnp.any(ov)
+    def seam_body(args):
+        tiles = args  # [G, 2, t0, t1]
+        g_here = tiles.shape[0]
+        ks = math.prod(tiles.shape[1:])
+        vals = tiles.reshape(g_here, ks)
+        ids, dovf = _block_dicts(vals, L)
+        oh = (vals[..., None] == ids[:, None, :]).astype(jnp.bfloat16)
+        half = ks // 2
+        mats = _face_matmul(oh[:, :half, :], oh[:, half:, :], L)
+        gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+        return gk, ct, dovf.any(), jnp.any(ov)
 
-        return body
+    seam_group_sz = max(1, (1 << 27) // (2 * max(by * bx, bz * bx, bz * by) * L))
 
-    def sweep(dense):
-        dense = _pad_to_blocks(dense.astype(jnp.int32), n, block)
-        vb_all = _group_pad(_blockify(dense, block), group, n)
-        off_all = _group_pad(jnp.asarray(offs), group, 0)
+    def run_seam_tiles(tiles, axis, sinks):
+        gkeys, counts, tags, flags = sinks
+        s_here = tiles.shape[0]
+        tiles_g = _group_pad(tiles, min(seam_group_sz, s_here), n)
+        gk, ct, dovf_s, povf_s = jax.lax.map(seam_body, tiles_g)
+        gkeys.append(gk.reshape(-1))
+        counts.append(ct.reshape(-1))
+        tags.append(jnp.full((gk.size,), axis, jnp.int32))
+        flags.append((jnp.any(dovf_s), jnp.any(povf_s)))
+
+    def main(dense_slab, z_off):
+        dense_slab = _pad_to_blocks(dense_slab.astype(jnp.int32), n, block)
+        vb_all = _group_pad(_blockify(dense_slab, block), group, n)
+        off = jnp.asarray(offs).at[:, 0].add(jnp.asarray(z_off, jnp.int32))
+        off_all = _group_pad(off, group, 0)
 
         ids, cols, cmin, cmax, gk0, ct0, tg0, dovf, povf = jax.lax.map(
             main_group, (vb_all, off_all)
         )
-        dict_overflow = jnp.any(dovf)
-        pair_overflow = jnp.any(povf)
-
         nb_pad = ids.shape[0] * ids.shape[1]
-        ids = ids.reshape(nb_pad, L)
-        cols = cols.reshape(nb_pad * L, -1)
-        cmin = cmin.reshape(nb_pad * L, 3)
-        cmax = cmax.reshape(nb_pad * L, 3)
-
-        # ---- global moment combine: tiny segment ops over B·L rows
-        seg = jnp.where(ids == _IMAX, n, ids).reshape(-1)
-        table = jax.ops.segment_sum(cols, seg, num_segments=n + 1)[:n]
-        gmin = jax.ops.segment_min(cmin, seg, num_segments=n + 1)[:n]
-        gmax = jax.ops.segment_max(cmax, seg, num_segments=n + 1)[:n]
-
         gkeys = [gk0.reshape(-1)]
         counts = [ct0.reshape(-1)]
         tags = [tg0.reshape(-1)]
+        flags = [(jnp.any(dovf), jnp.any(povf))]
+        sinks = (gkeys, counts, tags, flags)
 
-        # ---- seam passes: 2-plane slabs, same dictionary machinery
-        seam_group_sz = max(1, (1 << 27) // (2 * max(by * bx, bz * bx, bz * by) * L))
+        # in-slab seam passes: 2-plane slabs, same dictionary machinery
         for axis in range(3):
-            if _grid(dense.shape, block)[axis] < 2:
+            if _grid(dense_slab.shape, block)[axis] < 2:
                 continue
-            tiles = _seam_slabs(dense, block, axis)
-            s_here = tiles.shape[0]
-            tiles_g = _group_pad(tiles, min(seam_group_sz, s_here), n)
-            dummy = jnp.zeros(tiles_g.shape[:2], jnp.int32)
-            gk, ct, dovf_s, povf_s = jax.lax.map(
-                seam_group(axis), (tiles_g, dummy, dummy)
-            )
-            dict_overflow = dict_overflow | jnp.any(dovf_s)
-            pair_overflow = pair_overflow | jnp.any(povf_s)
-            gkeys.append(gk.reshape(-1))
-            counts.append(ct.reshape(-1))
-            tags.append(jnp.full((gk.size,), axis, jnp.int32))
+            run_seam_tiles(_seam_slabs(dense_slab, block, axis), axis, sinks)
 
-        gkeys = jnp.concatenate(gkeys)
-        counts = jnp.concatenate(counts)
-        tags = jnp.concatenate(tags)
-        skey, total, n_runs = _sorted_pair_reduce(gkeys, counts, tags, n, max_entries)
-
+        dict_overflow = jnp.zeros((), bool)
+        pair_overflow = jnp.zeros((), bool)
+        for d, p in flags:
+            dict_overflow = dict_overflow | d
+            pair_overflow = pair_overflow | p
         return (
-            table, gmin, gmax,
-            skey, total, n_runs,
-            dict_overflow, pair_overflow,
+            ids.reshape(nb_pad, L),
+            cols.reshape(nb_pad * L, -1),
+            cmin.reshape(nb_pad * L, 3),
+            cmax.reshape(nb_pad * L, 3),
+            jnp.concatenate(gkeys),
+            jnp.concatenate(counts),
+            jnp.concatenate(tags),
+            dict_overflow,
+            pair_overflow,
         )
+
+    def cross_seam(left_plane, right_plane):
+        """z-seam between two [Y, X] planes (already y/x block-padded)."""
+        y, x = left_plane.shape
+        gy2, gx2 = y // by, x // bx
+        pair = jnp.stack([left_plane, right_plane], axis=0)  # [2, Y, X]
+        pair = pair.reshape(2, gy2, by, gx2, bx).transpose(1, 3, 0, 2, 4)
+        tiles = pair.reshape(gy2 * gx2, 2, by, bx)
+        sinks = ([], [], [], [])
+        run_seam_tiles(tiles, 0, sinks)
+        gkeys, counts, tags, flags = sinks
+        return gkeys[0], counts[0], flags[0][0], flags[0][1]
+
+    return main, cross_seam
+
+
+def _global_moment_combine(ids, cols, cmin, cmax, n):
+    """Segment-combine per-(block, slot) rows into per-label tables.
+
+    The only scatter in the engine — over B·L rows, not voxels."""
+    seg = jnp.where(ids == _IMAX, n, ids).reshape(-1)
+    table = jax.ops.segment_sum(cols, seg, num_segments=n + 1)[:n]
+    gmin = jax.ops.segment_min(cmin, seg, num_segments=n + 1)[:n]
+    gmax = jax.ops.segment_max(cmax, seg, num_segments=n + 1)[:n]
+    return table, gmin, gmax
+
+
+def _build_sweep(shape, n_labels, cfg: BlockConfig):
+    """Single-device jitted sweep for a static (shape, n_labels, cfg)."""
+    n = n_labels
+    wshift = _check_static(shape, n, cfg)
+    main, _ = _build_slab_fns(shape, n, cfg, wshift)
+    max_entries = 3 * cfg.derived_max_pairs(n)
+
+    def sweep(dense):
+        ids, cols, cmin, cmax, gkeys, counts, tags, dovf, povf = main(dense, 0)
+        table, gmin, gmax = _global_moment_combine(ids, cols, cmin, cmax, n)
+        skey, total, n_runs = _sorted_pair_reduce(gkeys, counts, tags, n, max_entries)
+        return table, gmin, gmax, skey, total, n_runs, dovf, povf
 
     return jax.jit(sweep), wshift
 

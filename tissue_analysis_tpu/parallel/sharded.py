@@ -32,9 +32,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tissue_analysis_tpu.core.stack import LabeledStack
 from tissue_analysis_tpu.features.table import FeatureTable
-from tissue_analysis_tpu.ops import segred, stencil
+from tissue_analysis_tpu.ops import blocked, segred, stencil
 
-__all__ = ["make_mesh", "sharded_pipeline", "analyze_sharded"]
+__all__ = [
+    "make_mesh",
+    "sharded_pipeline",
+    "analyze_sharded",
+    "analyze_sharded_blocked",
+    "analyze_sharded_chunked",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "z") -> Mesh:
@@ -179,9 +185,198 @@ def analyze_sharded(
     mesh: Optional[Mesh] = None,
     max_pairs: Optional[int] = None,
     chunk: Optional[int] = None,
+    engine: str = "auto",
 ) -> FeatureTable:
     """Multi-device equivalent of :func:`engine.analyze_stack` — identical
     outputs (bit-for-bit) with z-slab sharding over the mesh."""
+    if engine == "auto":
+        engine = "blocked" if stack.ndim == 3 else "chunked"
+    if engine == "blocked":
+        try:
+            return analyze_sharded_blocked(stack, mesh=mesh)
+        except ValueError:
+            pass
+    return analyze_sharded_chunked(stack, mesh=mesh, max_pairs=max_pairs, chunk=chunk)
+
+
+# ---------------------------------------------------------------------------
+# Blocked (scatter-free) engine under z-slab sharding
+# ---------------------------------------------------------------------------
+
+
+def _blocked_slab_kernel(slab, *, n, cfg, wshift, slab_z, n_dev, max_entries):
+    """Per-device body: in-slab blocked pass + ring-halo cross seam.
+
+    The z-seam between consecutive slabs is the sharded analogue of the
+    in-slab seam pass: each device `ppermute`s its FIRST z-plane to the
+    previous device, which runs the 2-plane seam-tile pass against its own
+    last plane ("lower-z owner wins", SURVEY.md §5). Moment tables merge
+    with `psum`/`pmin`/`pmax`; pair entries `all_gather` into the same
+    sort-reduce as the single-device path — results are bit-identical.
+    """
+    main, cross_seam = blocked._build_slab_fns(slab.shape, n, cfg, wshift)
+    me = jax.lax.axis_index("z")
+    ids, cols, cmin, cmax, gkeys, counts, tags, dovf, povf = main(
+        slab, me * slab_z
+    )
+
+    # cross-slab seam (y/x padded to block multiples, pad label n)
+    by, bx = cfg.block[1], cfg.block[2]
+    y, x = slab.shape[1], slab.shape[2]
+    yp, xp = -(-y // by) * by, -(-x // bx) * bx
+    first = jnp.pad(
+        slab[0].astype(jnp.int32),
+        ((0, yp - y), (0, xp - x)),
+        constant_values=n,
+    )
+    last = jnp.pad(
+        slab[-1].astype(jnp.int32),
+        ((0, yp - y), (0, xp - x)),
+        constant_values=n,
+    )
+    if n_dev > 1:
+        recv = jax.lax.ppermute(
+            first, "z", perm=[(i, i - 1) for i in range(1, n_dev)]
+        )
+        recv = jnp.where(me < n_dev - 1, recv, n)
+        gk_s, ct_s, dovf_s, povf_s = cross_seam(last, recv)
+        gkeys = jnp.concatenate([gkeys, gk_s])
+        counts = jnp.concatenate([counts, ct_s])
+        tags = jnp.concatenate([tags, jnp.zeros(gk_s.shape, jnp.int32)])
+        dovf = dovf | dovf_s
+        povf = povf | povf_s
+
+    table_l, gmin_l, gmax_l = blocked._global_moment_combine(
+        ids, cols, cmin, cmax, n
+    )
+    table = jax.lax.psum(table_l, "z")
+    gmin = jax.lax.pmin(gmin_l, "z")
+    gmax = jax.lax.pmax(gmax_l, "z")
+
+    gkeys = jax.lax.all_gather(gkeys, "z", tiled=True)
+    counts = jax.lax.all_gather(counts, "z", tiled=True)
+    tags = jax.lax.all_gather(tags, "z", tiled=True)
+    skey, total, n_runs = blocked._sorted_pair_reduce(
+        gkeys, counts, tags, n, max_entries
+    )
+    flags = jax.lax.psum(
+        jnp.stack([dovf, povf]).astype(jnp.int32), "z"
+    )
+    return table, gmin, gmax, skey, total, n_runs, flags[0] > 0, flags[1] > 0
+
+
+@partial(
+    jax.jit, static_argnames=("n", "cfg", "wshift", "slab_z", "mesh", "max_entries")
+)
+def _blocked_sharded_pipeline(dense, n, cfg, wshift, slab_z, mesh, max_entries):
+    n_dev = mesh.shape["z"]
+    kernel = partial(
+        _blocked_slab_kernel,
+        n=n,
+        cfg=cfg,
+        wshift=wshift,
+        slab_z=slab_z,
+        n_dev=n_dev,
+        max_entries=max_entries,
+    )
+    fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=P("z", None, None),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        # the pair sort-reduce runs replicated on all_gathered inputs;
+        # identical on every device but not provable by the vma checker
+        check_vma=False,
+    )
+    return fn(dense)
+
+
+def analyze_sharded_blocked(
+    stack: LabeledStack,
+    mesh: Optional[Mesh] = None,
+    cfg: Optional[blocked.BlockConfig] = None,
+) -> FeatureTable:
+    """z-slab-sharded blocked engine; bit-identical to
+    :func:`engine.analyze_stack_blocked`."""
+    import dataclasses
+
+    if mesh is None:
+        mesh = make_mesh()
+    if stack.ndim != 3:
+        raise ValueError("blocked sharded engine requires a 3D stack")
+    n = stack.n_labels
+    cfg = cfg or blocked.BlockConfig()
+    n_dev = mesh.shape["z"]
+    bz = cfg.block[0]
+    z = stack.shape[0]
+    slab_z = -(-z // (n_dev * bz)) * bz
+    zp = slab_z * n_dev
+    padded_global = (
+        (zp,)
+        + tuple(-(-s // b) * b for s, b in zip(stack.shape[1:], cfg.block[1:]))
+    )
+    wshift = blocked._check_static(padded_global, n, cfg)
+
+    dense = stack.dense.astype(jnp.int32)
+    if zp != z:
+        dense = jnp.pad(dense, ((0, zp - z), (0, 0), (0, 0)), constant_values=n)
+    dense = jax.device_put(dense, NamedSharding(mesh, P("z", None, None)))
+
+    for _attempt in range(12):
+        max_entries = 3 * cfg.derived_max_pairs(n)
+        table, gmin, gmax, skey, total, n_runs, dovf, povf = (
+            _blocked_sharded_pipeline(
+                dense, n, cfg, wshift, slab_z, mesh, max_entries
+            )
+        )
+        if bool(dovf):
+            cfg = dataclasses.replace(
+                cfg, max_labels_per_block=cfg.max_labels_per_block * 4
+            )
+            continue
+        if bool(povf):
+            cfg = dataclasses.replace(
+                cfg, max_pairs_per_block=cfg.max_pairs_per_block * 4
+            )
+            continue
+        if int(n_runs) > max_entries:
+            cfg = dataclasses.replace(cfg, max_pairs=-(-int(n_runs) // 3) + 16)
+            continue
+        moments = blocked.assemble_moments(
+            np.asarray(table), np.asarray(gmin), np.asarray(gmax), wshift
+        )
+        pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
+            np.asarray(skey), np.asarray(total), n
+        )
+        from tissue_analysis_tpu.engine import _margin_from_bbox
+
+        return FeatureTable(
+            ids=stack.ids.copy(),
+            shape=stack.shape,
+            voxelsize=stack.voxelsize,
+            background_segment=stack.background_segment,
+            count=moments["count"],
+            s1=moments["s1"],
+            s2=moments["s2"],
+            cmin=moments["cmin"],
+            cmax=moments["cmax"],
+            pair_lo=pair_lo,
+            pair_hi=pair_hi,
+            wall_face_counts=counts3,
+            margin=_margin_from_bbox(
+                moments["count"], moments["cmin"], moments["cmax"], stack.shape
+            ),
+        )
+    raise RuntimeError("sharded blocked sweep failed to converge on buffer sizes")
+
+
+def analyze_sharded_chunked(
+    stack: LabeledStack,
+    mesh: Optional[Mesh] = None,
+    max_pairs: Optional[int] = None,
+    chunk: Optional[int] = None,
+) -> FeatureTable:
+    """Chunked-engine z-slab sharding (2D images and fallback)."""
     if mesh is None:
         mesh = make_mesh()
     n = stack.n_labels
@@ -215,7 +410,9 @@ def analyze_sharded(
     )
     n_pairs = int(n_pairs)
     if n_pairs > max_pairs:
-        return analyze_sharded(stack, mesh=mesh, max_pairs=n_pairs, chunk=chunk)
+        return analyze_sharded_chunked(
+            stack, mesh=mesh, max_pairs=n_pairs, chunk=chunk
+        )
 
     return FeatureTable(
         ids=stack.ids.copy(),
