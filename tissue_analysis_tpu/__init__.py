@@ -49,6 +49,12 @@ from tissue_analysis_tpu.graph import (  # noqa: F401
     PropertyGraph,
     TemporalPropertyGraph,
     graph_from_image,
+    graph_from_table,
+)
+from tissue_analysis_tpu.series import (  # noqa: F401
+    analyze_series,
+    graph_series,
+    temporal_graph_from_images,
 )
 
 __version__ = "0.1.0"

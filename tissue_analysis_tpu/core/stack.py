@@ -99,8 +99,10 @@ class LabeledStack:
             raise ValueError(f"expected 2D or 3D labeled image, got ndim={arr.ndim}")
 
         from tissue_analysis_tpu import native
+        from tissue_analysis_tpu.utils import timing
 
-        nat = native.relabel(arr, background)
+        with timing.stage("ingest: dense relabel", int(arr.size)):
+            nat = native.relabel(arr, background)
         if nat is not None:
             # C++ two-pass relabel (same segment convention as below:
             # ids ascending, background swapped to position 0)
@@ -123,8 +125,11 @@ class LabeledStack:
                         ids[0], ids[pos] = ids[pos], ids[0]
                     background_segment = 0
 
+        with timing.stage("ingest: host->device transfer", int(arr.size)):
+            dense_dev = jnp.asarray(dense)
+
         return cls(
-            dense=jnp.asarray(dense),
+            dense=dense_dev,
             ids=ids,
             voxelsize=voxelsize,
             background_segment=background_segment,

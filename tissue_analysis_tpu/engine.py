@@ -48,14 +48,29 @@ def analyze_stack(
 
 
 def analyze_stack_blocked(
-    stack: LabeledStack, cfg: Optional[blocked.BlockConfig] = None
+    stack: LabeledStack,
+    cfg: Optional[blocked.BlockConfig] = None,
+    n_bucket: Optional[int] = None,
 ) -> FeatureTable:
+    """Blocked-engine analysis.
+
+    ``n_bucket``: optional padded label-count (≥ n_labels). The sweep is
+    compiled for the bucket, so time-series frames with differing cell
+    counts share one compilation (segments n_labels..n_bucket-1 stay empty
+    and are sliced away).
+    """
+    from tissue_analysis_tpu.utils import timing
+
     n = stack.n_labels
+    n_sweep = n if n_bucket is None else max(n, int(n_bucket))
+    voxels = int(np.prod(stack.shape))
     cfg = cfg or blocked.BlockConfig()
     for _attempt in range(12):
-        (
-            table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
-        ), wshift = blocked.blocked_sweep(stack.dense, n, cfg)
+        with timing.stage("device sweep (blocked)", voxels):
+            (
+                table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
+            ), wshift = blocked.blocked_sweep(stack.dense, n_sweep, cfg)
+            n_runs = int(n_runs)  # host sync fences the device work
         if bool(dict_ovf):
             cfg = dataclasses.replace(
                 cfg, max_labels_per_block=cfg.max_labels_per_block * 4
@@ -66,15 +81,17 @@ def analyze_stack_blocked(
                 cfg, max_pairs_per_block=cfg.max_pairs_per_block * 4
             )
             continue
-        if int(n_runs) > 3 * cfg.derived_max_pairs(n):
-            cfg = dataclasses.replace(cfg, max_pairs=-(-int(n_runs) // 3) + 16)
+        if n_runs > 3 * cfg.derived_max_pairs(n_sweep):
+            cfg = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
             continue
-        moments = blocked.assemble_moments(
-            np.asarray(table), np.asarray(gmin), np.asarray(gmax), wshift
-        )
-        pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
-            np.asarray(skey), np.asarray(total), n
-        )
+        with timing.stage("readback + host assemble"):
+            moments = blocked.assemble_moments(
+                np.asarray(table)[:n], np.asarray(gmin)[:n],
+                np.asarray(gmax)[:n], wshift,
+            )
+            pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
+                np.asarray(skey), np.asarray(total), n_sweep
+            )
         return FeatureTable(
             ids=stack.ids.copy(),
             shape=stack.shape,

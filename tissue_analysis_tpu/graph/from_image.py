@@ -100,6 +100,20 @@ def graph_from_table(
     remove_stack_margins_cells: bool = False,
 ) -> PropertyGraph:
     """Build the cell PropertyGraph from an already-computed FeatureTable."""
+    from tissue_analysis_tpu.utils import timing
+
+    with timing.stage("graph: property-graph build"):
+        return _graph_from_table_impl(
+            table, labels, background, default_properties, default_real_property,
+            bbox_as_real, min_contact_area, ignoredlabels,
+            remove_stack_margins_cells,
+        )
+
+
+def _graph_from_table_impl(
+    table, labels, background, default_properties, default_real_property,
+    bbox_as_real, min_contact_area, ignoredlabels, remove_stack_margins_cells,
+) -> PropertyGraph:
     if background is None:
         background = table.background_id
     ignored = set(int(i) for i in ignoredlabels) | {background}
