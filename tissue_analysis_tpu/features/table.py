@@ -178,3 +178,34 @@ class FeatureTable:
     def margin_labels(self) -> List[int]:
         """Labels touching the array boundary (``:: cells_in_image_margins``)."""
         return sorted(int(l) for l in self.ids[self.margin])
+
+    # ---------------------------------------------------------- persistence
+    _ARRAY_FIELDS = (
+        "ids", "count", "s1", "s2", "cmin", "cmax",
+        "pair_lo", "pair_hi", "wall_face_counts", "margin",
+    )
+
+    def save(self, path: str) -> None:
+        """Persist the full table as compressed npz (SURVEY.md §5: the
+        durable artifact — exact integers, so reload is lossless)."""
+        meta = {
+            "shape": np.asarray(self.shape, np.int64),
+            "voxelsize": np.asarray(self.voxelsize, np.float64),
+            "background_segment": np.asarray(
+                -1 if self.background_segment is None else self.background_segment,
+                np.int64,
+            ),
+        }
+        arrays = {f: getattr(self, f) for f in self._ARRAY_FIELDS}
+        np.savez_compressed(path, **meta, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureTable":
+        with np.load(path) as z:
+            bg = int(z["background_segment"])
+            return cls(
+                shape=tuple(int(s) for s in z["shape"]),
+                voxelsize=tuple(float(v) for v in z["voxelsize"]),
+                background_segment=None if bg < 0 else bg,
+                **{f: z[f] for f in cls._ARRAY_FIELDS},
+            )

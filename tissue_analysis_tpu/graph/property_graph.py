@@ -149,6 +149,36 @@ class PropertyGraph:
             "graph_properties": self._graph_properties,
         }
 
+    @classmethod
+    def from_dict(cls, d: Dict) -> "PropertyGraph":
+        g = cls()  # subclass __init__ seeds its base properties; merged below
+        for vid in d["vertices"]:
+            g.add_vertex(int(vid))
+        for eid, (a, b) in d["edges"].items():
+            g.add_edge(int(a), int(b), eid=int(eid))
+        for name, vals in d["vertex_properties"].items():
+            g.add_vertex_property(name, dict(vals))
+        for name, vals in d["edge_properties"].items():
+            g.add_edge_property(name, dict(vals))
+        for name, val in d["graph_properties"].items():
+            g.add_graph_property(name, val)
+        return g
+
+    def save(self, path: str) -> None:
+        """Pickle the graph (matches the reference's pickle persistence of
+        PropertyGraphs, SURVEY.md §5 checkpoint row)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.to_dict(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "PropertyGraph":
+        import pickle
+
+        with open(path, "rb") as f:
+            return cls.from_dict(pickle.load(f))
+
 
 class TemporalPropertyGraph(PropertyGraph):
     """Lineage-linked sequence of per-timepoint cell graphs (SURVEY.md §3.6).
