@@ -125,6 +125,10 @@ class LabeledStack:
                         ids[0], ids[pos] = ids[pos], ids[0]
                     background_segment = 0
 
+        if ids.shape[0] <= 0xFFFF:
+            # segment ids (and the pad sentinel n_labels) fit uint16 — halve
+            # the host->device transfer; device sweeps upcast lazily
+            dense = dense.astype(np.uint16)
         with timing.stage("ingest: host->device transfer", int(arr.size)):
             dense_dev = jnp.asarray(dense)
 
