@@ -73,19 +73,26 @@ class AbstractSpatialImageAnalysis:
             labels = [labels]
         self._ignoredlabels.update(int(l) for l in labels)
 
-    def table(self) -> FeatureTable:
-        """The fused one-pass feature table (computed lazily, cached)."""
-        if self._table is None:
-            stack = LabeledStack.from_array(
+    def stack(self) -> LabeledStack:
+        """The dense-relabeled device stack (computed lazily, cached)."""
+        if getattr(self, "_stack", None) is None:
+            self._stack = LabeledStack.from_array(
                 self.image,
                 voxelsize=self.image.voxelsize,
                 background=self._background,
             )
-            self._table = analyze_stack(stack)
+        return self._stack
+
+    def table(self) -> FeatureTable:
+        """The fused one-pass feature table (computed lazily, cached)."""
+        if self._table is None:
+            self._table = analyze_stack(self.stack())
         return self._table
 
     def _invalidate(self) -> None:
         self._table = None
+        self._stack = None
+        self._diag_pairs = {}
 
     # ------------------------------------------------------ label protocol
     def labels(self) -> List[int]:
@@ -163,16 +170,29 @@ class AbstractSpatialImageAnalysis:
 
     # ------------------------------------------------------------ adjacency
     def neighbors(
-        self, labels=None, min_contact_area: Optional[float] = None, real: bool = True
+        self,
+        labels=None,
+        min_contact_area: Optional[float] = None,
+        real: bool = True,
+        connectivity: int = 1,
     ):
-        """{label: sorted neighbor labels}, 6-connectivity (SURVEY.md §3.3).
+        """{label: sorted neighbor labels} (SURVEY.md §3.3).
 
+        ``connectivity`` follows ``nd.generate_binary_structure``: 1 = faces
+        (6-connectivity in 3D, the reference default), ndim = full box
+        (26-connectivity). ``min_contact_area`` always filters by FACE
+        contact (oracle semantics), so diagonal-only pairs never pass it.
         Ignored labels are excluded from neighbor lists (but the background
         is kept — its presence marks epidermal cells).
         """
         asked_scalar = labels is not None and np.isscalar(labels)
         req = self.label_request(labels)
-        adj = self.table().adjacency(min_contact_area=min_contact_area, real=real)
+        if connectivity <= 1:
+            adj = self.table().adjacency(
+                min_contact_area=min_contact_area, real=real
+            )
+        else:
+            adj = self._adjacency_conn(connectivity, min_contact_area, real)
         drop = self._ignoredlabels - {self._background}
         res = [
             sorted(x for x in adj.get(l, []) if x not in drop) for l in req
@@ -180,6 +200,51 @@ class AbstractSpatialImageAnalysis:
         if asked_scalar:
             return res[0]
         return dict(zip(req, res)) if self.return_type == DICT else res
+
+    def _adjacency_conn(
+        self, connectivity: int, min_contact_area: Optional[float], real: bool
+    ):
+        """Box-neighborhood adjacency via the offsets sweep (cached)."""
+        from tissue_analysis_tpu.ops import stencil
+
+        if not hasattr(self, "_diag_pairs"):
+            self._diag_pairs = {}
+        stack = self.stack()
+        t = self.table()
+        pairs = self._diag_pairs.get(connectivity)
+        if pairs is None:
+            offsets = stencil.connectivity_offsets(stack.ndim, connectivity)
+            max_pairs = stencil.default_max_pairs(stack.n_labels)
+            while True:
+                plo, phi, _cnt, n_pairs = stencil.adjacency_offsets(
+                    stack.dense, stack.n_labels, offsets, max_pairs
+                )
+                n_pairs = int(n_pairs)
+                if n_pairs <= max_pairs:
+                    break
+                max_pairs = n_pairs
+            plo = np.asarray(plo)[:n_pairs]
+            phi = np.asarray(phi)[:n_pairs]
+            pairs = [
+                (int(t.ids[a]), int(t.ids[b])) for a, b in zip(plo, phi)
+            ]
+            self._diag_pairs[connectivity] = pairs
+        if min_contact_area is not None:
+            # face-based filter: diagonal-only pairs have zero face area
+            areas = t.pair_area_map() if real else {
+                (min(int(t.ids[a]), int(t.ids[b])), max(int(t.ids[a]), int(t.ids[b]))): int(c)
+                for a, b, c in zip(
+                    t.pair_lo, t.pair_hi, t.wall_voxel_face_totals()
+                )
+            }
+        adj: dict = {int(l): [] for l in t.ids}
+        for la, lb in pairs:
+            key = (min(la, lb), max(la, lb))
+            if min_contact_area is not None and areas.get(key, 0) < min_contact_area:
+                continue
+            adj[la].append(lb)
+            adj[lb].append(la)
+        return {k: sorted(v) for k, v in adj.items()}
 
     def neighbor_kernels(self):
         """The 2·D face-shift structuring elements (``:: neighbor_kernels``)."""

@@ -27,7 +27,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pair_sweep", "default_max_pairs"]
+__all__ = [
+    "pair_sweep",
+    "adjacency_offsets",
+    "connectivity_offsets",
+    "default_max_pairs",
+]
 
 _INT32_MAX = 2**31 - 1
 
@@ -36,6 +41,99 @@ def default_max_pairs(n_labels: int) -> int:
     # ~13.4 edges/cell measured on the 512³ Voronoi stack (SURVEY.md §0.1);
     # 32·N leaves generous headroom, floor keeps tiny tests roomy.
     return max(1024, 32 * n_labels)
+
+
+def connectivity_offsets(ndim: int, connectivity: int):
+    """Canonical half-space shift offsets for an ndim cross/box neighborhood.
+
+    connectivity follows ``nd.generate_binary_structure`` semantics: 1 =
+    faces only (the reference default, SURVEY.md §3.3), ndim = full box
+    (26-connectivity in 3D). Each unordered voxel-pair direction appears
+    once (first nonzero component positive).
+    """
+    import itertools
+
+    offs = []
+    for off in itertools.product((-1, 0, 1), repeat=ndim):
+        if all(o == 0 for o in off):
+            continue
+        order = sum(abs(o) for o in off)
+        if order > connectivity:
+            continue
+        first = next(o for o in off if o != 0)
+        if first < 0:
+            continue  # canonical representative of the ± pair
+        offs.append(off)
+    return tuple(offs)
+
+
+@partial(jax.jit, static_argnames=("n_labels", "offsets", "max_pairs", "chunk"))
+def adjacency_offsets(
+    dense: jax.Array,
+    n_labels: int,
+    offsets,
+    max_pairs: int,
+    chunk: int = 1 << 21,
+):
+    """Label-pair contacts for arbitrary shift offsets (18/26-connectivity).
+
+    Parity target: ``spatial_image_analysis.py :: neighbors`` with a
+    non-default structuring element (``nd.generate_binary_structure(3, 2|3)``).
+    Returns (pair_lo, pair_hi, contact_counts [max_pairs], n_pairs) over
+    dense segment ids; counts are voxel-pair contacts (diagonal contacts
+    carry no physical face area — ``min_contact_area`` filtering stays
+    face-based, matching the oracle).
+    """
+    ndim = dense.ndim
+    n = n_labels
+    keyspace = n * n
+    if keyspace + 1 > _INT32_MAX:
+        raise ValueError("n_labels exceeds the dense pair keyspace")
+    lab = dense.astype(jnp.int32)
+
+    def shifted_views(off):
+        sl_a, sl_b = [], []
+        for d in range(ndim):
+            if off[d] == 1:
+                sl_a.append(slice(0, lab.shape[d] - 1))
+                sl_b.append(slice(1, lab.shape[d]))
+            elif off[d] == -1:
+                sl_a.append(slice(1, lab.shape[d]))
+                sl_b.append(slice(0, lab.shape[d] - 1))
+            else:
+                sl_a.append(slice(None))
+                sl_b.append(slice(None))
+        return lab[tuple(sl_a)].reshape(-1), lab[tuple(sl_b)].reshape(-1)
+
+    acc = jnp.zeros((keyspace,), jnp.int32)
+    for off in offsets:
+        a, b = shifted_views(off)
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        key = jnp.where(a != b, lo * n + hi, keyspace)
+        v = key.shape[0]
+        n_chunks = -(-v // chunk)
+        pad = n_chunks * chunk - v
+        key = jnp.concatenate([key, jnp.full((pad,), keyspace, jnp.int32)])
+        key = key.reshape(n_chunks, chunk)
+
+        def body(carry, k):
+            t = jax.ops.segment_sum(
+                jnp.ones((chunk,), jnp.int32), k, num_segments=keyspace + 1
+            )
+            return carry + t[:keyspace], None
+
+        acc, _ = jax.lax.scan(body, acc, key)
+
+    nz = acc > 0
+    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    n_pairs = pos[-1] + 1
+    tgt = jnp.where(nz, pos, max_pairs)
+    keys = jnp.arange(keyspace, dtype=jnp.int32)
+    pair_lo = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys // n, mode="drop")
+    pair_hi = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys % n, mode="drop")
+    counts = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(acc, mode="drop")
+    return pair_lo, pair_hi, counts, n_pairs
 
 
 @partial(jax.jit, static_argnames=("n_labels", "max_pairs", "chunk"))
