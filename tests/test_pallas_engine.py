@@ -1,0 +1,82 @@
+"""Pallas fused-kernel engine vs the XLA blocked engine — bit-identical.
+
+Runs in interpret mode on the CPU backend; the same kernel compiles via
+Mosaic on a real TPU (exercised by bench/verify there).
+"""
+
+import numpy as np
+import pytest
+
+from tissue_analysis_tpu.core.stack import LabeledStack
+from tissue_analysis_tpu.core.synthetic import (
+    single_cube_image,
+    two_slab_image,
+    voronoi_stack,
+)
+from tissue_analysis_tpu.engine import (
+    analyze_stack_blocked,
+    analyze_stack_pallas,
+)
+from tissue_analysis_tpu.ops.pallas_block import PallasConfig
+
+FIELDS = (
+    "count", "s1", "s2", "cmin", "cmax",
+    "pair_lo", "pair_hi", "wall_face_counts", "margin",
+)
+
+
+def _cmp(img, background=1, cfg=None, n_bucket=None):
+    stack = LabeledStack.from_array(np.asarray(img), background=background)
+    a = analyze_stack_pallas(stack, cfg=cfg, n_bucket=n_bucket)
+    b = analyze_stack_blocked(stack)
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+    return a
+
+
+@pytest.mark.parametrize(
+    "shape,ncells,seed",
+    [
+        ((16, 16, 128), 20, 0),  # exactly block-sized in x
+        ((24, 24, 24), 20, 1),  # pad on every axis
+        ((32, 48, 130), 60, 2),  # multi-block + x pad
+        ((40, 33, 100), 45, 4),  # odd everything
+    ],
+)
+def test_pallas_equals_blocked(shape, ncells, seed):
+    _cmp(voronoi_stack(shape, ncells, seed=seed, voxelsize=(2.0, 0.5, 0.5)))
+
+
+def test_pallas_edge_cases():
+    _cmp(single_cube_image())
+    _cmp(two_slab_image(), background=None)
+
+
+def test_pallas_gapped_ids_and_bucket():
+    img = np.asarray(voronoi_stack((16, 16, 16), 10, seed=2)).astype(np.int64)
+    img[img > 1] += 100
+    img[img == 105] = 900
+    _cmp(img)
+    _cmp(img, n_bucket=128)
+
+
+def test_pallas_overflow_reruns():
+    img = voronoi_stack((24, 24, 48), 40, seed=3)
+    cfg = PallasConfig(max_labels_per_block=8, max_pairs_per_block=4, max_pairs=4)
+    _cmp(img, cfg=cfg)
+
+
+def test_pallas_oracle_bitmatch():
+    """End-to-end: pallas engine barycenters bit-match the scipy oracle."""
+    from tissue_analysis_tpu.oracle.scipy_oracle import ScipyOracle
+
+    img = voronoi_stack((24, 24, 24), 20, seed=5, voxelsize=(2.0, 0.5, 0.5))
+    stack = LabeledStack.from_array(
+        np.asarray(img), voxelsize=img.voxelsize, background=1
+    )
+    t = analyze_stack_pallas(stack)
+    oracle = ScipyOracle(np.asarray(img), voxelsize=img.voxelsize, background=1)
+    bary = t.barycenter(real=True)
+    exp = oracle.barycenter(real=True)
+    for s, l in enumerate(t.ids):
+        assert np.array_equal(bary[s], exp[int(l)]), l

@@ -38,6 +38,11 @@ def analyze_stack(
     """
     if engine == "auto":
         engine = "blocked" if stack.ndim == 3 else "chunked"
+    if engine == "pallas":
+        try:
+            return analyze_stack_pallas(stack)
+        except ValueError:
+            engine = "blocked"
     if engine == "blocked":
         try:
             return analyze_stack_blocked(stack, cfg=block_config)
@@ -45,6 +50,64 @@ def analyze_stack(
             # static precondition failed (huge label count / giant stack)
             return analyze_stack_chunked(stack, max_pairs, chunk)
     return analyze_stack_chunked(stack, max_pairs, chunk)
+
+
+def analyze_stack_pallas(
+    stack: LabeledStack, cfg=None, n_bucket: Optional[int] = None
+) -> FeatureTable:
+    """Pallas fused-kernel engine (ops/pallas_block.py) — bit-identical to
+    the blocked engine, ~one HBM read per voxel."""
+    from tissue_analysis_tpu.ops import pallas_block
+    from tissue_analysis_tpu.utils import timing
+
+    n = stack.n_labels
+    n_sweep = n if n_bucket is None else max(n, int(n_bucket))
+    cfg = cfg or pallas_block.PallasConfig()
+    voxels = int(np.prod(stack.shape))
+    for _attempt in range(12):
+        with timing.stage("device sweep (pallas)", voxels):
+            (
+                table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
+            ) = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
+            n_runs = int(n_runs)
+        if bool(dict_ovf):
+            cfg = dataclasses.replace(
+                cfg, max_labels_per_block=cfg.max_labels_per_block * 2
+            )
+            continue
+        if bool(pair_ovf):
+            cfg = dataclasses.replace(
+                cfg, max_pairs_per_block=cfg.max_pairs_per_block * 4
+            )
+            continue
+        if n_runs > 3 * cfg.derived_max_pairs(n_sweep):
+            cfg = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
+            continue
+        with timing.stage("readback + host assemble"):
+            moments = pallas_block.assemble_moments_pallas(
+                np.asarray(table)[:n], np.asarray(gmin)[:n], np.asarray(gmax)[:n]
+            )
+            pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
+                np.asarray(skey), np.asarray(total), n_sweep
+            )
+        return FeatureTable(
+            ids=stack.ids.copy(),
+            shape=stack.shape,
+            voxelsize=stack.voxelsize,
+            background_segment=stack.background_segment,
+            count=moments["count"],
+            s1=moments["s1"],
+            s2=moments["s2"],
+            cmin=moments["cmin"],
+            cmax=moments["cmax"],
+            pair_lo=pair_lo,
+            pair_hi=pair_hi,
+            wall_face_counts=counts3,
+            margin=_margin_from_bbox(
+                moments["count"], moments["cmin"], moments["cmax"], stack.shape
+            ),
+        )
+    raise RuntimeError("pallas sweep failed to converge on buffer sizes")
 
 
 def analyze_stack_blocked(

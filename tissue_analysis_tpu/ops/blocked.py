@@ -356,6 +356,46 @@ def _check_static(shape, n_labels, cfg: BlockConfig) -> int:
     return wshift
 
 
+def seam_pair_entries(dense_padded, block, n, L, kp, group_bytes=1 << 27):
+    """Pair entries for every block-seam tile of a (block-padded) stack.
+
+    Shared by the XLA blocked engine and the Pallas engine: 2-plane seam
+    slabs per axis run through the dictionary + face-matmul machinery.
+    Returns (gkeys, counts, tags, dict_ovf, pair_ovf).
+    """
+    bz, by, bx = block
+
+    def seam_body(tiles):
+        g_here = tiles.shape[0]
+        ks = math.prod(tiles.shape[1:])
+        vals = tiles.reshape(g_here, ks)
+        ids, dovf = _block_dicts(vals, L)
+        oh = (vals[..., None] == ids[:, None, :]).astype(jnp.bfloat16)
+        half = ks // 2
+        mats = _face_matmul(oh[:, :half, :], oh[:, half:, :], L)
+        gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+        return gk, ct, dovf.any(), jnp.any(ov)
+
+    seam_group_sz = max(
+        1, group_bytes // (2 * max(by * bx, bz * bx, bz * by) * L)
+    )
+    gkeys, counts, tags = [], [], []
+    dovf = jnp.zeros((), bool)
+    povf = jnp.zeros((), bool)
+    for axis in range(3):
+        if _grid(dense_padded.shape, block)[axis] < 2:
+            continue
+        tiles = _seam_slabs(dense_padded, block, axis)
+        tiles_g = _group_pad(tiles, min(seam_group_sz, tiles.shape[0]), n)
+        gk, ct, dovf_s, povf_s = jax.lax.map(seam_body, tiles_g)
+        gkeys.append(gk.reshape(-1))
+        counts.append(ct.reshape(-1))
+        tags.append(jnp.full((gk.size,), axis, jnp.int32))
+        dovf = dovf | jnp.any(dovf_s)
+        povf = povf | jnp.any(povf_s)
+    return gkeys, counts, tags, dovf, povf
+
+
 def _build_slab_fns(slab_shape, n_labels, cfg: BlockConfig, wshift: int):
     """Reusable slab-level passes for a static (slab_shape, n_labels, cfg).
 
