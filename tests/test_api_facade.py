@@ -169,3 +169,19 @@ def test_2d_analysis(small2d):
     for l in a.labels():
         expect = sum(v for (x, y), v in walls.items() if l in (x, y))
         assert per[l] == pytest.approx(expect)
+
+
+def test_analysis_config():
+    from tissue_analysis_tpu.analysis import AnalysisConfig, LIST, SpatialImageAnalysis
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    import numpy as np
+
+    img = voronoi_stack((16, 16, 16), 10, seed=0)
+    cfg = AnalysisConfig(background=1, ignoredlabels=(3,), return_type=LIST)
+    a = SpatialImageAnalysis(np.asarray(img), config=cfg)
+    assert a.config is cfg or a.config == cfg
+    assert 3 not in a.labels()
+    assert isinstance(a.volume(), list)
+    # explicit kwarg overrides the config field
+    b = SpatialImageAnalysis(np.asarray(img), config=cfg, return_type=0)
+    assert isinstance(b.volume(), dict)

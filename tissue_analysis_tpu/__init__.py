@@ -40,6 +40,7 @@ from tissue_analysis_tpu.analysis import (  # noqa: F401
     LIST,
     NPLIST,
     AbstractSpatialImageAnalysis,
+    AnalysisConfig,
     SpatialImageAnalysis,
     SpatialImageAnalysis2D,
     SpatialImageAnalysis3D,

@@ -3,6 +3,7 @@ from tissue_analysis_tpu.analysis.base import (  # noqa: F401
     LIST,
     NPLIST,
     AbstractSpatialImageAnalysis,
+    AnalysisConfig,
 )
 from tissue_analysis_tpu.analysis.dimensional import (  # noqa: F401
     SpatialImageAnalysis,

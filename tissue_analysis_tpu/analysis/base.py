@@ -12,7 +12,8 @@ scipy.ndimage full-image pass per feature (SURVEY.md §3.2–3.5).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Union
+import dataclasses
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -21,7 +22,13 @@ from tissue_analysis_tpu.core.stack import LabeledStack
 from tissue_analysis_tpu.engine import analyze_stack
 from tissue_analysis_tpu.features.table import FeatureTable
 
-__all__ = ["DICT", "LIST", "NPLIST", "AbstractSpatialImageAnalysis"]
+__all__ = [
+    "DICT",
+    "LIST",
+    "NPLIST",
+    "AnalysisConfig",
+    "AbstractSpatialImageAnalysis",
+]
 
 # Return-mode constants (``spatial_image_analysis.py`` module constants).
 DICT = 0
@@ -29,26 +36,65 @@ LIST = 1
 NPLIST = 2
 
 
+@dataclasses.dataclass(frozen=True)
+class AnalysisConfig:
+    """The reference's knobs as one frozen config (SURVEY.md §5 config row).
+
+    Mirrors exactly the keyword arguments the reference passes around
+    (``background=``, ``ignoredlabels=``, ``return_type=``, ``real=``,
+    ``min_contact_area=``) plus this rebuild's engine/connectivity choices.
+    """
+
+    background: Optional[int] = 1
+    ignoredlabels: Tuple[int, ...] = ()
+    return_type: int = DICT
+    real: bool = True
+    min_contact_area: Optional[float] = None
+    connectivity: int = 1
+    engine: str = "auto"  # 'auto' | 'blocked' | 'pallas' | 'chunked'
+
+
 class AbstractSpatialImageAnalysis:
     def __init__(
         self,
         image,
         ignoredlabels: Union[int, Iterable[int], None] = None,
-        return_type: int = DICT,
+        return_type: Optional[int] = None,
         background: Optional[int] = 1,
+        config: Optional[AnalysisConfig] = None,
     ):
         self.image = (
             image
             if isinstance(image, SpatialImage)
             else SpatialImage(np.asarray(image))
         )
-        if ignoredlabels is None:
-            ignoredlabels = []
-        elif np.isscalar(ignoredlabels):
-            ignoredlabels = [int(ignoredlabels)]
-        self._ignoredlabels = set(int(i) for i in ignoredlabels)
-        self.return_type = return_type
-        self._background = background
+        self.config = config or AnalysisConfig(
+            background=background,
+            ignoredlabels=()
+            if ignoredlabels is None
+            else (ignoredlabels,)
+            if np.isscalar(ignoredlabels)
+            else tuple(ignoredlabels),
+            return_type=DICT if return_type is None else return_type,
+        )
+        if config is not None:
+            # explicit kwargs override config fields when both are given
+            override = {}
+            if ignoredlabels is not None:
+                override["ignoredlabels"] = (
+                    (ignoredlabels,)
+                    if np.isscalar(ignoredlabels)
+                    else tuple(ignoredlabels)
+                )
+            if return_type is not None:
+                override["return_type"] = return_type
+            if background != 1:
+                override["background"] = background
+            if override:
+                self.config = dataclasses.replace(self.config, **override)
+        self._ignoredlabels = set(int(i) for i in self.config.ignoredlabels)
+        self.return_type = self.config.return_type
+        self._background = self.config.background
         self._table: Optional[FeatureTable] = None
 
     # ------------------------------------------------------------ plumbing
@@ -86,7 +132,7 @@ class AbstractSpatialImageAnalysis:
     def table(self) -> FeatureTable:
         """The fused one-pass feature table (computed lazily, cached)."""
         if self._table is None:
-            self._table = analyze_stack(self.stack())
+            self._table = analyze_stack(self.stack(), engine=self.config.engine)
         return self._table
 
     def _invalidate(self) -> None:
