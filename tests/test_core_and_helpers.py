@@ -124,3 +124,30 @@ def test_wall_mask(cube):
 
     eroded = nd.binary_erosion(inside)
     np.testing.assert_array_equal(m, inside & ~eroded)
+
+
+def test_misc_utilities(tmp_path):
+    import numpy as np
+    from tissue_analysis_tpu.analysis.misc import (
+        labels_in_image, load_labels, relabel_image, remove_cells, save_labels,
+    )
+    from tissue_analysis_tpu.core.spatial_image import SpatialImage
+
+    img = SpatialImage(
+        np.array([[1, 2, 2], [3, 3, 9]], dtype=np.uint8), voxelsize=(0.5, 2.0)
+    )
+    assert labels_in_image(img) == [1, 2, 3, 9]
+    assert labels_in_image(img, exclude=[1]) == [2, 3, 9]
+
+    p = str(tmp_path / "labels.txt")
+    save_labels([3, 9], p)
+    assert load_labels(p) == [3, 9]
+
+    r = relabel_image(img, {2: 7, 9: 2})
+    assert labels_in_image(r) == [1, 2, 3, 7]
+    assert r.voxelsize == (0.5, 2.0)
+    r2 = relabel_image(img, {2: 7}, default=0)
+    assert labels_in_image(r2) == [0, 7]
+
+    rm = remove_cells(img, [2, 9], background=1)
+    assert labels_in_image(rm) == [1, 3]

@@ -19,3 +19,10 @@ from tissue_analysis_tpu.analysis.helpers import (  # noqa: F401
     sort_boundingbox,
     wall,
 )
+from tissue_analysis_tpu.analysis.misc import (  # noqa: F401
+    labels_in_image,
+    load_labels,
+    relabel_image,
+    remove_cells,
+    save_labels,
+)
