@@ -13,6 +13,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import jax
+
 import numpy as np
 
 from tissue_analysis_tpu.core.stack import LabeledStack
@@ -37,7 +39,12 @@ def analyze_stack(
     preconditions fail.
     """
     if engine == "auto":
-        engine = "blocked" if stack.ndim == 3 else "chunked"
+        if stack.ndim != 3:
+            engine = "chunked"
+        elif jax.default_backend() == "tpu":
+            engine = "pallas"  # Mosaic kernel (interpret-only off-TPU)
+        else:
+            engine = "blocked"
     if engine == "pallas":
         try:
             return analyze_stack_pallas(stack)
@@ -52,6 +59,11 @@ def analyze_stack(
     return analyze_stack_chunked(stack, max_pairs, chunk)
 
 
+# last-known-good overflow-free configs per (shape, n): repeated analyses
+# (series frames, facade re-queries) skip the rerun-larger discovery sweeps
+_GOOD_CFG: dict = {}
+
+
 def analyze_stack_pallas(
     stack: LabeledStack, cfg=None, n_bucket: Optional[int] = None
 ) -> FeatureTable:
@@ -62,13 +74,17 @@ def analyze_stack_pallas(
 
     n = stack.n_labels
     n_sweep = n if n_bucket is None else max(n, int(n_bucket))
-    cfg = cfg or pallas_block.PallasConfig()
+    cfg_key = ("pallas", stack.shape, n_sweep)
+    if cfg is None:
+        cfg = _GOOD_CFG.get(cfg_key) or pallas_block.PallasConfig()
     voxels = int(np.prod(stack.shape))
     for _attempt in range(12):
         with timing.stage("device sweep (pallas)", voxels):
+            out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
+            # ONE batched device→host transfer (round trips cost latency)
             (
                 table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
-            ) = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
+            ) = jax.device_get(out)
             n_runs = int(n_runs)
         if bool(dict_ovf):
             cfg = dataclasses.replace(
@@ -77,12 +93,15 @@ def analyze_stack_pallas(
             continue
         if bool(pair_ovf):
             cfg = dataclasses.replace(
-                cfg, max_pairs_per_block=cfg.max_pairs_per_block * 4
+                cfg,
+                max_pairs_per_block=cfg.max_pairs_per_block * 4,
+                max_pairs_per_seam_tile=cfg.max_pairs_per_seam_tile * 4,
             )
             continue
         if n_runs > 3 * cfg.derived_max_pairs(n_sweep):
             cfg = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
             continue
+        _GOOD_CFG[cfg_key] = cfg
         with timing.stage("readback + host assemble"):
             moments = pallas_block.assemble_moments_pallas(
                 np.asarray(table)[:n], np.asarray(gmin)[:n], np.asarray(gmax)[:n]
@@ -127,13 +146,18 @@ def analyze_stack_blocked(
     n = stack.n_labels
     n_sweep = n if n_bucket is None else max(n, int(n_bucket))
     voxels = int(np.prod(stack.shape))
-    cfg = cfg or blocked.BlockConfig()
+    cfg_key = ("blocked", stack.shape, n_sweep)
+    if cfg is None:
+        cfg = _GOOD_CFG.get(cfg_key) or blocked.BlockConfig()
     for _attempt in range(12):
         with timing.stage("device sweep (blocked)", voxels):
+            out, wshift = blocked.blocked_sweep(stack.dense, n_sweep, cfg)
+            # ONE batched device→host transfer: every extra round trip costs
+            # full link latency on the relayed platform
             (
                 table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
-            ), wshift = blocked.blocked_sweep(stack.dense, n_sweep, cfg)
-            n_runs = int(n_runs)  # host sync fences the device work
+            ) = jax.device_get(out)
+            n_runs = int(n_runs)
         if bool(dict_ovf):
             cfg = dataclasses.replace(
                 cfg, max_labels_per_block=cfg.max_labels_per_block * 4
@@ -147,6 +171,7 @@ def analyze_stack_blocked(
         if n_runs > 3 * cfg.derived_max_pairs(n_sweep):
             cfg = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
             continue
+        _GOOD_CFG[cfg_key] = cfg
         with timing.stage("readback + host assemble"):
             moments = blocked.assemble_moments(
                 np.asarray(table)[:n], np.asarray(gmin)[:n],

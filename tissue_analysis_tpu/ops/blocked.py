@@ -228,6 +228,7 @@ def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
     """
     bm, L, _ = mats.shape
     n = n_labels
+    kp = min(kp, L * L)
     flat = mats.reshape(bm, L * L)
     nz = jnp.sum((flat > 0).astype(jnp.int32), axis=1)
     overflow = nz > kp
@@ -299,12 +300,13 @@ def _group_pad(arr, group, pad_value):
     return arr.reshape((ng, group) + arr.shape[1:])
 
 
-def _seam_slabs(dense, block, axis):
+def _seam_slabs(dense, block, axis, tile=None, pad_label=None):
     """Extract seam tiles for one axis: [S, 2, t0, t1] label slabs.
 
     For axis d with block extent b: planes (k·b-1, k·b), k = 1..g-1, tiled
-    by the other two block extents, grid-major like `_blockify` so seam s
-    maps back to its (left grid cell, right grid cell) statically.
+    by ``tile`` (defaults to the other two block extents; larger tiles mean
+    fewer dictionary/compaction rows downstream). Planes are padded to tile
+    multiples with ``pad_label`` when needed.
     """
     g = _grid(dense.shape, block)
     b = block[axis]
@@ -323,9 +325,19 @@ def _seam_slabs(dense, block, axis):
     left = jnp.transpose(left, perm)  # [ns, S0, S1]
     right = jnp.transpose(right, perm)
     other = [d for d in range(3) if d != axis]
-    t0, t1 = block[other[0]], block[other[1]]
-    g0, g1 = g[other[0]], g[other[1]]
+    if tile is None:
+        t0, t1 = block[other[0]], block[other[1]]
+    else:
+        t0, t1 = tile
     pair = jnp.stack([left, right], axis=1)  # [ns, 2, S0, S1]
+    s0, s1 = pair.shape[2], pair.shape[3]
+    g0, g1 = -(-s0 // t0), -(-s1 // t1)
+    if (g0 * t0 != s0) or (g1 * t1 != s1):
+        pair = jnp.pad(
+            pair,
+            ((0, 0), (0, 0), (0, g0 * t0 - s0), (0, g1 * t1 - s1)),
+            constant_values=pad_label,
+        )
     pair = pair.reshape(ns, 2, g0, t0, g1, t1)
     pair = pair.transpose(0, 2, 4, 1, 3, 5)  # [ns, g0, g1, 2, t0, t1]
     return pair.reshape(ns * g0 * g1, 2, t0, t1)
@@ -356,11 +368,15 @@ def _check_static(shape, n_labels, cfg: BlockConfig) -> int:
     return wshift
 
 
-def seam_pair_entries(dense_padded, block, n, L, kp, group_bytes=1 << 27):
+def seam_pair_entries(
+    dense_padded, block, n, L, kp, group_bytes=1 << 27, tile=None
+):
     """Pair entries for every block-seam tile of a (block-padded) stack.
 
     Shared by the XLA blocked engine and the Pallas engine: 2-plane seam
     slabs per axis run through the dictionary + face-matmul machinery.
+    ``tile`` overrides the seam tile dims (larger tiles ⇒ fewer compaction
+    rows; L must still bound the labels per tile — overflow-flagged).
     Returns (gkeys, counts, tags, dict_ovf, pair_ovf).
     """
     bz, by, bx = block
@@ -376,16 +392,19 @@ def seam_pair_entries(dense_padded, block, n, L, kp, group_bytes=1 << 27):
         gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
         return gk, ct, dovf.any(), jnp.any(ov)
 
-    seam_group_sz = max(
-        1, group_bytes // (2 * max(by * bx, bz * bx, bz * by) * L)
+    tile_elems = (
+        2 * max(by * bx, bz * bx, bz * by)
+        if tile is None
+        else 2 * tile[0] * tile[1]
     )
+    seam_group_sz = max(1, group_bytes // (tile_elems * L))
     gkeys, counts, tags = [], [], []
     dovf = jnp.zeros((), bool)
     povf = jnp.zeros((), bool)
     for axis in range(3):
         if _grid(dense_padded.shape, block)[axis] < 2:
             continue
-        tiles = _seam_slabs(dense_padded, block, axis)
+        tiles = _seam_slabs(dense_padded, block, axis, tile=tile, pad_label=n)
         tiles_g = _group_pad(tiles, min(seam_group_sz, tiles.shape[0]), n)
         gk, ct, dovf_s, povf_s = jax.lax.map(seam_body, tiles_g)
         gkeys.append(gk.reshape(-1))

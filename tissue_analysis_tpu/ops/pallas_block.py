@@ -66,9 +66,10 @@ _QSHIFT = 9  # offset-product split in the reconstruction
 class PallasConfig:
     block: Tuple[int, int, int] = (8, 16, 128)
     max_labels_per_block: int = 64  # L
-    max_pairs_per_block: int = 256  # kp for the XLA compaction stage
+    max_pairs_per_block: int = 128  # kp for the XLA compaction stage
     max_pairs: int = 0
-    use_pltpu_roll: bool = True  # False -> jnp.roll (interpret mode)
+    seam_tile: Tuple[int, int] = (64, 256)  # bigger tiles ⇒ fewer top_k rows
+    max_pairs_per_seam_tile: int = 256
 
     def derived_max_pairs(self, n_labels: int) -> int:
         if self.max_pairs:
@@ -102,7 +103,13 @@ def _check_static_pallas(shape, n_labels, cfg: PallasConfig) -> None:
 
 
 def _weight_table(block) -> np.ndarray:
-    """Static [K, 2·_N_FEATS] bf16 lo/hi-split local-coordinate weights."""
+    """Static [K, 2·_N_FEATS + bz + by + bx] bf16 weight/selector table.
+
+    First 2·_N_FEATS columns: lo/hi-split local-coordinate moment weights
+    (parts < 2^_WSHIFT). Remaining columns: coordinate-plane presence
+    selectors (0/1) for the bbox supports — all consumed by ONE MXU dot
+    against the one-hot.
+    """
     bz, by, bx = block
     z, y, x = np.meshgrid(
         np.arange(bz), np.arange(by), np.arange(bx), indexing="ij"
@@ -116,148 +123,141 @@ def _weight_table(block) -> np.ndarray:
     for f in feats:
         cols.append(f & _WMASK)
         cols.append(f >> _WSHIFT)
+    for coord, extent in ((z, bz), (y, by), (x, bx)):
+        for c in range(extent):
+            cols.append((coord == c).astype(np.int64))
     w = np.stack(cols, axis=1)
     assert w.max() < (1 << _WSHIFT)
     return w.astype(jnp.bfloat16)
 
 
-def _selectors(block) -> Tuple[np.ndarray, np.ndarray]:
-    """SelZ [S, bz], SelY [S, by] presence selectors (s = z·by + y)."""
-    bz, by, _ = block
-    s = np.arange(bz * by)
-    sel_z = (s[:, None] // by == np.arange(bz)[None, :]).astype(np.float32)
-    sel_y = (s[:, None] % by == np.arange(by)[None, :]).astype(np.float32)
-    return sel_z.astype(jnp.bfloat16), sel_y.astype(jnp.bfloat16)
-
-
-def _kernel_factory(block, L, use_pltpu_roll):
+def _kernel_factory(block, L):
     bz, by, bx = block
     K = bz * by * bx
-    S = bz * by  # sublane rows in the [S, X] view
 
-    def roll(a, shift, axis):
-        if use_pltpu_roll:
-            return pltpu.roll(a, shift=shift, axis=axis)
-        return jnp.roll(a, shift, axis=axis)
-
-    def kernel(vals_ref, w_ref, selz_ref, sely_ref,
+    def kernel(vals_ref, v8_ref, vrz_ref, vry_ref, vrx_ref, w_ref,
                ids_ref, mom_ref, bbmin_ref, bbmax_ref,
                pz_ref, py_ref, px_ref, ovf_ref):
-        v = vals_ref[0].reshape(S, bx)  # [S, X] int32
+        # Everything is 2D [·, K] — no layout-changing reshapes in-kernel
+        # (Mosaic rejects shape casts that cross the lane boundary).
+        v = vals_ref[0]  # [1, K] int32
+        v8 = v8_ref[0]  # [8, K/8] int32 — same voxels, full-sublane layout
 
-        # ---- 1. dictionary: iterative masked min, iota-select stores ------
-        lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        # ---- 1. dictionary: iterative masked min over the [8, K/8] view
+        # (the [1, K] view would run the VPU at 1/8 occupancy); ids built
+        # [L, 1] by sublane-iota select. STATICALLY UNROLLED: a fori_loop
+        # here carries i1 masks whose Mosaic layouts disagree between loop
+        # entry and body and fail to compile.
+        sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        mask = v8 == v8
+        ids = jnp.full((L, 1), _IMAX, jnp.int32)
+        for l in range(L):
+            m = jnp.min(jnp.where(mask, v8, _IMAX))
+            ids = jnp.where(sub_l == l, m, ids)
+            mask = mask & (v8 != m)
+        ids_ref[0] = ids
+        ovf_ref[0] = jnp.any(mask).astype(jnp.int32).reshape(1, 1)
 
-        def body(l, carry):
-            mask, ids = carry
-            m = jnp.min(jnp.where(mask, v, _IMAX))
-            ids = jnp.where(lane_l == l, m, ids)
-            return mask & (v != m), ids
+        # ---- 2. one-hot [L, K] bf16: one broadcast compare ----------------
+        oh = (v == ids).astype(jnp.bfloat16)  # [1,K] vs [L,1] -> [L,K]
 
-        mask0 = v == v
-        ids0 = jnp.full((1, L), _IMAX, jnp.int32)
-        mask, ids = jax.lax.fori_loop(0, L, body, (mask0, ids0))
-        ids_ref[0] = ids[0]
-        ovf_ref[0, 0] = jnp.any(mask).astype(jnp.int32)
-
-        # ---- 2. one-hot [L, S, X] bf16 -------------------------------------
-        oh = (v[None, :, :] == ids.reshape(L, 1, 1)).astype(jnp.bfloat16)
-        oh2 = oh.reshape(L, K)
-
-        # ---- 3. local moments: one MXU dot vs static split weights --------
+        # ---- 3. moments + bbox supports: ONE MXU dot ----------------------
         mom = jax.lax.dot_general(
-            oh2, w_ref[:, :], (((1,), (0,)), ((), ())),
+            oh, w_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [L, 2F], exact integers in f32
-        mom_ref[0] = mom.astype(jnp.int32)
+        )  # [L, 2F + bz + by + bx], exact integers in f32
+        F2 = 2 * _N_FEATS
+        mom_ref[0] = mom[:, :F2].astype(jnp.int32)
 
-        # ---- 4. bbox supports: lane reduce + selector dots -----------------
-        smax = jnp.max(oh, axis=2)  # [L, S] presence per row
-        zs = jax.lax.dot_general(
-            smax, selz_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [L, bz] (counts > 0 ⇔ present)
-        ys = jax.lax.dot_general(
-            smax, sely_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [L, by]
-        xs = jnp.max(oh, axis=1)  # [L, X]
         mins, maxs = [], []
-        for supp, ln in ((zs, bz), (ys, by), (xs, bx)):
+        col = F2
+        for extent in (bz, by, bx):
+            supp = mom[:, col:col + extent]  # [L, extent] voxel counts
+            col += extent
             present = supp > 0
-            ii = jax.lax.broadcasted_iota(jnp.int32, (L, ln), 1)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (L, extent), 1)
             mins.append(jnp.min(jnp.where(present, ii, _IMAX), axis=1))
             maxs.append(jnp.max(jnp.where(present, ii, -1), axis=1))
         bbmin_ref[0] = jnp.stack(mins, axis=1)
         bbmax_ref[0] = jnp.stack(maxs, axis=1)
 
-        # ---- 5. pair matmuls: roll + mask per axis --------------------------
-        si = jax.lax.broadcasted_iota(jnp.int32, (L, S, bx), 1)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (L, S, bx), 2)
+        # ---- 4. pair matmuls: shifted-neighbor one-hots (shifts done in
+        # XLA — Mosaic has no wide-vector rotate) + modular-iota masks
+        k_i = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        x_i = k_i % bx
+        y_i = (k_i // bx) % by
+        z_i = k_i // (bx * by)
 
-        def face_dot(a, b):
+        def face_dot(amask, vr):
+            a = jnp.where(amask, oh, 0)
+            b = (vr == ids).astype(jnp.bfloat16)  # neighbor one-hot [L, K]
             return jax.lax.dot_general(
-                a.reshape(L, K), b.reshape(L, K), (((1,), (1,)), ((), ())),
+                a, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
 
-        # z faces: rows s and s+by  (b[i] = a[i+by] ⇒ roll by S-by)
-        a_z = jnp.where(si < S - by, oh, 0)
-        pz_ref[0] = face_dot(a_z, roll(oh, S - by, 1))
-        # y faces: rows s and s+1 within a z-group of by rows
-        a_y = jnp.where(si % by < by - 1, oh, 0)
-        py_ref[0] = face_dot(a_y, roll(oh, S - 1, 1))
-        # x faces: lanes x and x+1
-        a_x = jnp.where(xi < bx - 1, oh, 0)
-        px_ref[0] = face_dot(a_x, roll(oh, bx - 1, 2))
+        pz_ref[0] = face_dot(z_i < bz - 1, vrz_ref[0])
+        py_ref[0] = face_dot(y_i < by - 1, vry_ref[0])
+        px_ref[0] = face_dot(x_i < bx - 1, vrx_ref[0])
 
     return kernel
 
 
-def _pallas_main_pass(vb, w, selz, sely, L, use_pltpu_roll, interpret):
-    """vb: [B, bz, by, bx] int32 blockified stack."""
-    B, bz, by, bx = vb.shape
-    kernel = _kernel_factory((bz, by, bx), L, use_pltpu_roll)
-    F2 = 2 * _N_FEATS
+def _pallas_main_pass(vb, w, block, L, interpret):
+    """vb: [B, bz, by, bx] int32 blockified stack (flattened per block for
+    the kernel — an HBM bitcast, not a copy). The three in-block +1 shifts
+    are materialized here (XLA rolls); wrap positions are masked in-kernel."""
+    B = vb.shape[0]
+    bz, by, bx = block
     K = bz * by * bx
-    S = bz * by
+    kernel = _kernel_factory(block, L)
+    F2 = 2 * _N_FEATS
+    WCOLS = w.shape[1]
+    vb_flat = vb.reshape(B, 1, K)
+    vb8 = vb.reshape(B, 8, K // 8)
+    vrz = jnp.roll(vb, -1, axis=1).reshape(B, 1, K)
+    vry = jnp.roll(vb, -1, axis=2).reshape(B, 1, K)
+    vrx = jnp.roll(vb, -1, axis=3).reshape(B, 1, K)
+    # Mosaic constraint: a block's last two dims must be (8,128)-divisible
+    # or EQUAL the array dims — hence rank-3 [B, 1, ·]/[B, L, ·] shapes so
+    # the per-grid-step "1" never lands in the trailing two positions.
     out_shapes = (
-        jax.ShapeDtypeStruct((B, L), jnp.int32),        # ids
+        jax.ShapeDtypeStruct((B, L, 1), jnp.int32),     # ids
         jax.ShapeDtypeStruct((B, L, F2), jnp.int32),    # local moments
         jax.ShapeDtypeStruct((B, L, 3), jnp.int32),     # bbox min (local)
         jax.ShapeDtypeStruct((B, L, 3), jnp.int32),     # bbox max (local)
         jax.ShapeDtypeStruct((B, L, L), jnp.int32),     # pair mats z
         jax.ShapeDtypeStruct((B, L, L), jnp.int32),     # pair mats y
         jax.ShapeDtypeStruct((B, L, L), jnp.int32),     # pair mats x
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),        # dict overflow
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),     # dict overflow
     )
-    row = lambda i: (i, 0)  # noqa: E731
     mat = lambda i: (i, 0, 0)  # noqa: E731
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(
-                (1, bz, by, bx), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((K, F2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, bz), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, by), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K // 8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, WCOLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, L), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, 1), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, F2), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, 3), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, 3), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, L), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, L), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, L), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), mat, memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(vb, w, selz, sely)
+    )(vb_flat, vb8, vrz, vry, vrx, w)
+    ids, mom, bbmin, bbmax, pz, py, px, ovf = outs
+    return ids[:, :, 0], mom, bbmin, bbmax, pz, py, px, ovf[:, 0]
 
 
 def _reconstruct_rows(mom_local, bbmin, bbmax, offs):
@@ -330,10 +330,6 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
     gz, gy, gx = _grid(shape, block)
     bz, by, bx = block
     w = jnp.asarray(_weight_table(block))
-    selz_np, sely_np = _selectors(block)
-    selz = jnp.asarray(selz_np)
-    sely = jnp.asarray(sely_np)
-    use_roll = cfg.use_pltpu_roll and not interpret
 
     ozz, oyy, oxx = np.meshgrid(
         np.arange(gz) * bz, np.arange(gy) * by, np.arange(gx) * bx, indexing="ij"
@@ -348,7 +344,7 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
         offs = jnp.asarray(offs_np)
 
         (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = _pallas_main_pass(
-            vb, w, selz, sely, L, use_roll, interpret
+            vb, w, block, L, interpret
         )
         dict_overflow = jnp.any(dovf > 0)
 
@@ -370,7 +366,9 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
             tags.append(jnp.full(gk.shape, ax, jnp.int32))
             pair_overflow = pair_overflow | jnp.any(ov)
 
-        sk, sc, st, dovf_s, povf_s = seam_pair_entries(dense, block, n, L, kp)
+        sk, sc, st, dovf_s, povf_s = seam_pair_entries(
+            dense, block, n, L, cfg.max_pairs_per_seam_tile, tile=cfg.seam_tile
+        )
         gkeys += sk
         counts += sc
         tags += st
