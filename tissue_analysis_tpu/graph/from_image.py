@@ -189,11 +189,11 @@ def _graph_from_table_impl(
             )
         }
         wall_prop = graph.add_edge_property("wall_surface")
+        v2l = graph.graph_property("vertex2label")
         for eid in graph.edges():
             va, vb = graph.edge_vertices(eid)
-            la = graph.graph_property("vertex2label")[va]
-            lb = graph.graph_property("vertex2label")[vb]
-            key = (min(la, lb), max(la, lb))
+            la, lb = v2l[va], v2l[vb]
+            key = (la, lb) if la < lb else (lb, la)
             if key in areas:
                 wall_prop[eid] = areas[key]
 
