@@ -380,18 +380,6 @@ def seam_pair_entries(
     Returns (gkeys, counts, tags, dict_ovf, pair_ovf).
     """
     bz, by, bx = block
-
-    def seam_body(tiles):
-        g_here = tiles.shape[0]
-        ks = math.prod(tiles.shape[1:])
-        vals = tiles.reshape(g_here, ks)
-        ids, dovf = _block_dicts(vals, L)
-        oh = (vals[..., None] == ids[:, None, :]).astype(jnp.bfloat16)
-        half = ks // 2
-        mats = _face_matmul(oh[:, :half, :], oh[:, half:, :], L)
-        gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
-        return gk, ct, dovf.any(), jnp.any(ov)
-
     tile_elems = (
         2 * max(by * bx, bz * bx, bz * by)
         if tile is None
@@ -405,14 +393,50 @@ def seam_pair_entries(
         if _grid(dense_padded.shape, block)[axis] < 2:
             continue
         tiles = _seam_slabs(dense_padded, block, axis, tile=tile, pad_label=n)
-        tiles_g = _group_pad(tiles, min(seam_group_sz, tiles.shape[0]), n)
-        gk, ct, dovf_s, povf_s = jax.lax.map(seam_body, tiles_g)
-        gkeys.append(gk.reshape(-1))
-        counts.append(ct.reshape(-1))
+        gk, ct, dovf_s, povf_s = seam_tiles_entries(
+            tiles, n, L, kp, seam_group_sz
+        )
+        gkeys.append(gk)
+        counts.append(ct)
         tags.append(jnp.full((gk.size,), axis, jnp.int32))
-        dovf = dovf | jnp.any(dovf_s)
-        povf = povf | jnp.any(povf_s)
+        dovf = dovf | dovf_s
+        povf = povf | povf_s
     return gkeys, counts, tags, dovf, povf
+
+
+def seam_tiles_entries(tiles, n, L, kp, group):
+    """Pair entries for a batch of 2-plane seam tiles [S, 2, t0, t1]."""
+
+    def seam_body(tiles_grp):
+        g_here = tiles_grp.shape[0]
+        ks = math.prod(tiles_grp.shape[1:])
+        vals = tiles_grp.reshape(g_here, ks)
+        ids, dovf = _block_dicts(vals, L)
+        oh = (vals[..., None] == ids[:, None, :]).astype(jnp.bfloat16)
+        half = ks // 2
+        mats = _face_matmul(oh[:, :half, :], oh[:, half:, :], L)
+        gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+        return gk, ct, dovf.any(), jnp.any(ov)
+
+    tiles_g = _group_pad(tiles, min(group, tiles.shape[0]), n)
+    gk, ct, dovf_s, povf_s = jax.lax.map(seam_body, tiles_g)
+    return gk.reshape(-1), ct.reshape(-1), jnp.any(dovf_s), jnp.any(povf_s)
+
+
+def plane_seam_tiles(left_plane, right_plane, tile, pad_label):
+    """Two [Y, X] label planes -> seam tiles [S, 2, t0, t1] (tile-padded)."""
+    t0, t1 = tile
+    y, x = left_plane.shape
+    g0, g1 = -(-y // t0), -(-x // t1)
+    pair = jnp.stack([left_plane, right_plane], axis=0)  # [2, Y, X]
+    if (g0 * t0 != y) or (g1 * t1 != x):
+        pair = jnp.pad(
+            pair,
+            ((0, 0), (0, g0 * t0 - y), (0, g1 * t1 - x)),
+            constant_values=pad_label,
+        )
+    pair = pair.reshape(2, g0, t0, g1, t1).transpose(1, 3, 0, 2, 4)
+    return pair.reshape(g0 * g1, 2, t0, t1)
 
 
 def _build_slab_fns(slab_shape, n_labels, cfg: BlockConfig, wshift: int):

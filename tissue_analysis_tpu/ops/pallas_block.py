@@ -320,14 +320,19 @@ def assemble_moments_pallas(table: np.ndarray, gmin, gmax) -> dict:
     return {"count": count, "s1": s1, "s2": s2, "cmin": cmin, "cmax": cmax}
 
 
-def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
+def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
+    """Per-slab pallas pass for a static slab shape (shared by the
+    single-device sweep and the z-slab shard_map pipeline).
+
+    Returns fn(dense_slab, z_off) -> (ids [B, L], cols [B·L, C] (split),
+    gmin/gmax rows, gkeys, counts, tags, dict_ovf, pair_ovf) with all z
+    coordinates offset by the traced scalar z_off.
+    """
     block = cfg.block
     L = cfg.max_labels_per_block
     kp = cfg.max_pairs_per_block
     n = n_labels
-    _check_static_pallas(shape, n, cfg)
-    max_entries = 3 * cfg.derived_max_pairs(n)
-    gz, gy, gx = _grid(shape, block)
+    gz, gy, gx = _grid(slab_shape, block)
     bz, by, bx = block
     w = jnp.asarray(_weight_table(block))
 
@@ -338,10 +343,10 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
         [ozz.reshape(-1), oyy.reshape(-1), oxx.reshape(-1)], axis=1
     ).astype(np.int32)
 
-    def sweep(dense):
-        dense = _pad_to_blocks(dense.astype(jnp.int32), n, block)
+    def slab_pass(dense_slab, z_off):
+        dense = _pad_to_blocks(dense_slab.astype(jnp.int32), n, block)
         vb = _blockify(dense, block)  # [B, bz, by, bx]
-        offs = jnp.asarray(offs_np)
+        offs = jnp.asarray(offs_np).at[:, 0].add(jnp.asarray(z_off, jnp.int32))
 
         (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = _pallas_main_pass(
             vb, w, block, L, interpret
@@ -350,12 +355,7 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
 
         cols, gmin_l, gmax_l = _reconstruct_rows(mom_local, bbmin, bbmax, offs)
         cols = blocked._split_rows(cols)  # [B, L, 68]
-
         B = ids.shape[0]
-        table, gmin, gmax = blocked._global_moment_combine(
-            ids, cols.reshape(B * L, -1),
-            gmin_l.reshape(B * L, 3), gmax_l.reshape(B * L, 3), n,
-        )
 
         gkeys, counts, tags = [], [], []
         pair_overflow = jnp.zeros((), bool)
@@ -375,14 +375,38 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
         dict_overflow = dict_overflow | dovf_s
         pair_overflow = pair_overflow | povf_s
 
-        skey, total, n_runs = _sorted_pair_reduce(
-            jnp.concatenate(gkeys), jnp.concatenate(counts),
-            jnp.concatenate(tags), n, max_entries,
-        )
         return (
-            table, gmin, gmax, skey, total, n_runs,
-            dict_overflow, pair_overflow,
+            ids,
+            cols.reshape(B * L, -1),
+            gmin_l.reshape(B * L, 3),
+            gmax_l.reshape(B * L, 3),
+            jnp.concatenate(gkeys),
+            jnp.concatenate(counts),
+            jnp.concatenate(tags),
+            dict_overflow,
+            pair_overflow,
         )
+
+    return slab_pass
+
+
+def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
+    n = n_labels
+    _check_static_pallas(shape, n, cfg)
+    max_entries = 3 * cfg.derived_max_pairs(n)
+    slab_pass = build_pallas_slab_fn(shape, n, cfg, interpret)
+
+    def sweep(dense):
+        ids, cols, gmin_l, gmax_l, gkeys, counts, tags, dovf, povf = (
+            slab_pass(dense, 0)
+        )
+        table, gmin, gmax = blocked._global_moment_combine(
+            ids, cols, gmin_l, gmax_l, n
+        )
+        skey, total, n_runs = _sorted_pair_reduce(
+            gkeys, counts, tags, n, max_entries
+        )
+        return table, gmin, gmax, skey, total, n_runs, dovf, povf
 
     return jax.jit(sweep)
 

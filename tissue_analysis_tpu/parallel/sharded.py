@@ -38,6 +38,7 @@ __all__ = [
     "make_mesh",
     "sharded_pipeline",
     "analyze_sharded",
+    "analyze_sharded_pallas",
     "analyze_sharded_blocked",
     "analyze_sharded_chunked",
 ]
@@ -190,13 +191,184 @@ def analyze_sharded(
     """Multi-device equivalent of :func:`engine.analyze_stack` — identical
     outputs (bit-for-bit) with z-slab sharding over the mesh."""
     if engine == "auto":
-        engine = "blocked" if stack.ndim == 3 else "chunked"
+        if stack.ndim != 3:
+            engine = "chunked"
+        elif jax.default_backend() == "tpu":
+            engine = "pallas"
+        else:
+            engine = "blocked"
+    if engine == "pallas":
+        try:
+            return analyze_sharded_pallas(stack, mesh=mesh)
+        except ValueError:
+            engine = "blocked"
     if engine == "blocked":
         try:
             return analyze_sharded_blocked(stack, mesh=mesh)
         except ValueError:
             pass
     return analyze_sharded_chunked(stack, mesh=mesh, max_pairs=max_pairs, chunk=chunk)
+
+
+# ---------------------------------------------------------------------------
+# Pallas engine under z-slab sharding
+# ---------------------------------------------------------------------------
+
+
+def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries, interpret):
+    """Per-device body: pallas slab pass + ring-halo cross seam (same
+    collective pattern as `_blocked_slab_kernel`)."""
+    from tissue_analysis_tpu.ops import pallas_block
+
+    slab_pass = pallas_block.build_pallas_slab_fn(slab.shape, n, cfg, interpret)
+    me = jax.lax.axis_index("z")
+    ids, cols, gmin_l, gmax_l, gkeys, counts, tags, dovf, povf = slab_pass(
+        slab, me * slab_z
+    )
+
+    if n_dev > 1:
+        first = slab[0].astype(jnp.int32)
+        last = slab[-1].astype(jnp.int32)
+        recv = jax.lax.ppermute(
+            first, "z", perm=[(i, i - 1) for i in range(1, n_dev)]
+        )
+        recv = jnp.where(me < n_dev - 1, recv, n)
+        tiles = blocked.plane_seam_tiles(last, recv, cfg.seam_tile, n)
+        gk_s, ct_s, dovf_s, povf_s = blocked.seam_tiles_entries(
+            tiles, n, cfg.max_labels_per_block,
+            cfg.max_pairs_per_seam_tile, tiles.shape[0],
+        )
+        gkeys = jnp.concatenate([gkeys, gk_s])
+        counts = jnp.concatenate([counts, ct_s])
+        tags = jnp.concatenate([tags, jnp.zeros(gk_s.shape, jnp.int32)])
+        dovf = dovf | dovf_s
+        povf = povf | povf_s
+
+    table_l, gmin_loc, gmax_loc = blocked._global_moment_combine(
+        ids, cols, gmin_l, gmax_l, n
+    )
+    table = jax.lax.psum(table_l, "z")
+    gmin = jax.lax.pmin(gmin_loc, "z")
+    gmax = jax.lax.pmax(gmax_loc, "z")
+
+    gkeys = jax.lax.all_gather(gkeys, "z", tiled=True)
+    counts = jax.lax.all_gather(counts, "z", tiled=True)
+    tags = jax.lax.all_gather(tags, "z", tiled=True)
+    skey, total, n_runs = blocked._sorted_pair_reduce(
+        gkeys, counts, tags, n, max_entries
+    )
+    flags = jax.lax.psum(jnp.stack([dovf, povf]).astype(jnp.int32), "z")
+    return table, gmin, gmax, skey, total, n_runs, flags[0] > 0, flags[1] > 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "cfg", "slab_z", "mesh", "max_entries", "interpret"),
+)
+def _pallas_sharded_pipeline(dense, n, cfg, slab_z, mesh, max_entries, interpret):
+    n_dev = mesh.shape["z"]
+    kernel = partial(
+        _pallas_slab_kernel,
+        n=n,
+        cfg=cfg,
+        slab_z=slab_z,
+        n_dev=n_dev,
+        max_entries=max_entries,
+        interpret=interpret,
+    )
+    fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=P("z", None, None),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(dense)
+
+
+def analyze_sharded_pallas(
+    stack: LabeledStack,
+    mesh: Optional[Mesh] = None,
+    cfg=None,
+) -> FeatureTable:
+    """z-slab-sharded Pallas engine; bit-identical to the single-device
+    engines."""
+    import dataclasses
+
+    from tissue_analysis_tpu.ops import pallas_block
+
+    if mesh is None:
+        mesh = make_mesh()
+    if stack.ndim != 3:
+        raise ValueError("pallas sharded engine requires a 3D stack")
+    n = stack.n_labels
+    cfg = cfg or pallas_block.PallasConfig()
+    interpret = jax.default_backend() != "tpu"
+    n_dev = mesh.shape["z"]
+    bz = cfg.block[0]
+    z = stack.shape[0]
+    slab_z = -(-z // (n_dev * bz)) * bz
+    zp = slab_z * n_dev
+    padded_global = (
+        (zp,)
+        + tuple(-(-s // b) * b for s, b in zip(stack.shape[1:], cfg.block[1:]))
+    )
+    pallas_block._check_static_pallas(padded_global, n, cfg)
+
+    dense = stack.dense.astype(jnp.int32)
+    if zp != z:
+        dense = jnp.pad(dense, ((0, zp - z), (0, 0), (0, 0)), constant_values=n)
+    dense = jax.device_put(dense, NamedSharding(mesh, P("z", None, None)))
+
+    for _attempt in range(12):
+        max_entries = 3 * cfg.derived_max_pairs(n)
+        out = _pallas_sharded_pipeline(
+            dense, n, cfg, slab_z, mesh, max_entries, interpret
+        )
+        (
+            table, gmin, gmax, skey, total, n_runs, dovf, povf
+        ) = jax.device_get(out)
+        if bool(dovf):
+            cfg = dataclasses.replace(
+                cfg, max_labels_per_block=cfg.max_labels_per_block * 2
+            )
+            continue
+        if bool(povf):
+            cfg = dataclasses.replace(
+                cfg,
+                max_pairs_per_block=cfg.max_pairs_per_block * 4,
+                max_pairs_per_seam_tile=cfg.max_pairs_per_seam_tile * 4,
+            )
+            continue
+        if int(n_runs) > max_entries:
+            cfg = dataclasses.replace(cfg, max_pairs=-(-int(n_runs) // 3) + 16)
+            continue
+        moments = pallas_block.assemble_moments_pallas(
+            np.asarray(table), np.asarray(gmin), np.asarray(gmax)
+        )
+        pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
+            np.asarray(skey), np.asarray(total), n
+        )
+        from tissue_analysis_tpu.engine import _margin_from_bbox
+
+        return FeatureTable(
+            ids=stack.ids.copy(),
+            shape=stack.shape,
+            voxelsize=stack.voxelsize,
+            background_segment=stack.background_segment,
+            count=moments["count"],
+            s1=moments["s1"],
+            s2=moments["s2"],
+            cmin=moments["cmin"],
+            cmax=moments["cmax"],
+            pair_lo=pair_lo,
+            pair_hi=pair_hi,
+            wall_face_counts=counts3,
+            margin=_margin_from_bbox(
+                moments["count"], moments["cmin"], moments["cmax"], stack.shape
+            ),
+        )
+    raise RuntimeError("sharded pallas sweep failed to converge on buffer sizes")
 
 
 # ---------------------------------------------------------------------------
