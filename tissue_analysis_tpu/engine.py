@@ -88,7 +88,9 @@ def analyze_stack_pallas(
             n_runs = int(n_runs)
         if bool(dict_ovf):
             cfg = dataclasses.replace(
-                cfg, max_labels_per_block=cfg.max_labels_per_block * 2
+                cfg,
+                max_labels_per_block=cfg.max_labels_per_block * 2,
+                seam_max_labels=cfg.seam_max_labels * 2,
             )
             continue
         if bool(pair_ovf):

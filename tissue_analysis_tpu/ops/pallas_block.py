@@ -65,10 +65,11 @@ _QSHIFT = 9  # offset-product split in the reconstruction
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
     block: Tuple[int, int, int] = (8, 16, 128)
-    max_labels_per_block: int = 64  # L
+    max_labels_per_block: int = 32  # L (measured p100 = 22 on 512³ stacks)
     max_pairs_per_block: int = 128  # kp for the XLA compaction stage
     max_pairs: int = 0
     seam_tile: Tuple[int, int] = (64, 256)  # bigger tiles ⇒ fewer top_k rows
+    seam_max_labels: int = 64  # seam tiles span more cells than blocks
     max_pairs_per_seam_tile: int = 256
 
     def derived_max_pairs(self, n_labels: int) -> int:
@@ -367,7 +368,8 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
             pair_overflow = pair_overflow | jnp.any(ov)
 
         sk, sc, st, dovf_s, povf_s = seam_pair_entries(
-            dense, block, n, L, cfg.max_pairs_per_seam_tile, tile=cfg.seam_tile
+            dense, block, n, cfg.seam_max_labels,
+            cfg.max_pairs_per_seam_tile, tile=cfg.seam_tile,
         )
         gkeys += sk
         counts += sc

@@ -235,7 +235,7 @@ def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries, interpret):
         recv = jnp.where(me < n_dev - 1, recv, n)
         tiles = blocked.plane_seam_tiles(last, recv, cfg.seam_tile, n)
         gk_s, ct_s, dovf_s, povf_s = blocked.seam_tiles_entries(
-            tiles, n, cfg.max_labels_per_block,
+            tiles, n, cfg.seam_max_labels,
             cfg.max_pairs_per_seam_tile, tiles.shape[0],
         )
         gkeys = jnp.concatenate([gkeys, gk_s])
@@ -330,7 +330,9 @@ def analyze_sharded_pallas(
         ) = jax.device_get(out)
         if bool(dovf):
             cfg = dataclasses.replace(
-                cfg, max_labels_per_block=cfg.max_labels_per_block * 2
+                cfg,
+                max_labels_per_block=cfg.max_labels_per_block * 2,
+                seam_max_labels=cfg.seam_max_labels * 2,
             )
             continue
         if bool(povf):
