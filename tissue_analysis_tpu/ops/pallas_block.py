@@ -47,6 +47,7 @@ from tissue_analysis_tpu.ops.blocked import (
     _blockify,
     _compact_pair_mats,
     _grid,
+    _group_pad,
     _pad_to_blocks,
     _sorted_pair_reduce,
     seam_pair_entries,
@@ -140,9 +141,10 @@ def _kernel_factory(block, L):
                ids_ref, mom_ref, bbmin_ref, bbmax_ref,
                pz_ref, py_ref, px_ref, ovf_ref):
         # Everything is 2D [·, K] — no layout-changing reshapes in-kernel
-        # (Mosaic rejects shape casts that cross the lane boundary).
-        v = vals_ref[0]  # [1, K] int32
-        v8 = v8_ref[0]  # [8, K/8] int32 — same voxels, full-sublane layout
+        # (Mosaic rejects shape casts that cross the lane boundary). Inputs
+        # may arrive as uint16 (halves HBM for big stacks); cast per block.
+        v = vals_ref[0].astype(jnp.int32)  # [1, K]
+        v8 = v8_ref[0].astype(jnp.int32)  # [8, K/8] — full-sublane layout
 
         # ---- 1. dictionary: iterative masked min over the [8, K/8] view
         # (the [1, K] view would run the VPU at 1/8 occupancy); ids built
@@ -191,7 +193,7 @@ def _kernel_factory(block, L):
 
         def face_dot(amask, vr):
             a = jnp.where(amask, oh, 0)
-            b = (vr == ids).astype(jnp.bfloat16)  # neighbor one-hot [L, K]
+            b = (vr.astype(jnp.int32) == ids).astype(jnp.bfloat16)  # [L, K]
             return jax.lax.dot_general(
                 a, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -204,10 +206,28 @@ def _kernel_factory(block, L):
     return kernel
 
 
-def _pallas_main_pass(vb, w, block, L, interpret):
-    """vb: [B, bz, by, bx] int32 blockified stack (flattened per block for
-    the kernel — an HBM bitcast, not a copy). The three in-block +1 shifts
-    are materialized here (XLA rolls); wrap positions are masked in-kernel."""
+def _pallas_main_pass(vb_all, w, block, L, n, interpret, group_blocks=8192):
+    """vb_all: [B, bz, by, bx] blockified stack (uint16 or int32).
+
+    Runs the kernel grid in `lax.map` groups so the three rolled
+    neighbor copies (and their 2× sublane-padding for 16-bit layouts) only
+    materialize per group — the ungrouped version OOMs HBM at 1024³.
+    Padding blocks carry the label n (the dropped segment)."""
+    B_total = vb_all.shape[0]
+    group = min(group_blocks, B_total)
+    vb_groups = _group_pad(vb_all, group, n)
+
+    def run_group(vb):
+        return _pallas_group(vb, w, block, L, interpret)
+
+    outs = jax.lax.map(run_group, vb_groups)
+    # stack group outputs back to a flat block axis, drop padding blocks
+    flat = [o.reshape((-1,) + o.shape[2:])[:B_total] for o in outs]
+    return tuple(flat)
+
+
+def _pallas_group(vb, w, block, L, interpret):
+    """One pallas_call over a group of blocks; see `_pallas_main_pass`."""
     B = vb.shape[0]
     bz, by, bx = block
     K = bz * by * bx
@@ -345,12 +365,18 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
     ).astype(np.int32)
 
     def slab_pass(dense_slab, z_off):
-        dense = _pad_to_blocks(dense_slab.astype(jnp.int32), n, block)
+        # keep uint16 end-to-end when the segment space (and pad label n)
+        # fits — at 1024³ the int32 copies alone would blow HBM
+        if dense_slab.dtype != jnp.uint16 and n <= 0xFFFE:
+            dense_slab = dense_slab.astype(jnp.uint16)
+        elif n > 0xFFFE:
+            dense_slab = dense_slab.astype(jnp.int32)
+        dense = _pad_to_blocks(dense_slab, n, block)
         vb = _blockify(dense, block)  # [B, bz, by, bx]
         offs = jnp.asarray(offs_np).at[:, 0].add(jnp.asarray(z_off, jnp.int32))
 
         (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = _pallas_main_pass(
-            vb, w, block, L, interpret
+            vb, w, block, L, n, interpret
         )
         dict_overflow = jnp.any(dovf > 0)
 
