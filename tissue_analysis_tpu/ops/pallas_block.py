@@ -365,12 +365,11 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
     ).astype(np.int32)
 
     def slab_pass(dense_slab, z_off):
-        # keep uint16 end-to-end when the segment space (and pad label n)
-        # fits — at 1024³ the int32 copies alone would blow HBM
-        if dense_slab.dtype != jnp.uint16 and n <= 0xFFFE:
+        # keep uint16 end-to-end — at 1024³ the int32 copies alone would
+        # blow HBM. Always sound: _check_static_pallas caps n at 23169
+        # (int32 pair keyspace), far below the uint16 limit.
+        if dense_slab.dtype != jnp.uint16:
             dense_slab = dense_slab.astype(jnp.uint16)
-        elif n > 0xFFFE:
-            dense_slab = dense_slab.astype(jnp.int32)
         dense = _pad_to_blocks(dense_slab, n, block)
         vb = _blockify(dense, block)  # [B, bz, by, bx]
         offs = jnp.asarray(offs_np).at[:, 0].add(jnp.asarray(z_off, jnp.int32))
