@@ -32,7 +32,40 @@ from tissue_analysis_tpu.graph.property_graph import (
     TemporalPropertyGraph,
 )
 
-__all__ = ["analyze_series", "graph_series", "temporal_graph_from_images"]
+__all__ = [
+    "analyze_series",
+    "graph_series",
+    "temporal_graph_from_images",
+    "read_lineage",
+    "write_lineage",
+]
+
+
+def read_lineage(path: str) -> Dict[int, List[int]]:
+    """Read a lineage mapping file: ``mother: d1 d2 ...`` or ``mother d1 d2``
+    per line (the MARS-ALT tracking output convention); '#' comments."""
+    out: Dict[int, List[int]] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            head, _, rest = line.partition(":")
+            parts = (head + " " + rest).split()
+            ids = [int(p) for p in parts]
+            if len(ids) < 2:
+                continue
+            out.setdefault(ids[0], []).extend(ids[1:])
+    return out
+
+
+def write_lineage(path: str, lineage: Dict[int, List[int]]) -> None:
+    with open(path, "w") as f:
+        for mother in sorted(lineage):
+            ds = lineage[mother]
+            if not isinstance(ds, (list, tuple, set)):
+                ds = [ds]
+            f.write(f"{int(mother)}: {' '.join(str(int(d)) for d in ds)}\n")
 
 
 def _bucket(n: int) -> int:
