@@ -22,6 +22,10 @@ import os
 import sys
 import time
 
+# persistent compilation cache: first Mosaic/XLA compile through the axon
+# tunnel costs minutes; cache it across processes (must precede jax import)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import numpy as np
 
 

@@ -97,6 +97,10 @@ class LabeledStack:
             raise ValueError("voxelsize length must equal image ndim")
         if arr.ndim not in (2, 3):
             raise ValueError(f"expected 2D or 3D labeled image, got ndim={arr.ndim}")
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise TypeError(
+                f"labeled images must have an integer dtype, got {arr.dtype}"
+            )
 
         from tissue_analysis_tpu import native
         from tissue_analysis_tpu.utils import timing
