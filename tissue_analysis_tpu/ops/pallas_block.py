@@ -215,6 +215,8 @@ def _pallas_main_pass(vb_all, w, block, L, n, interpret, group_blocks=8192):
     Padding blocks carry the label n (the dropped segment)."""
     B_total = vb_all.shape[0]
     group = min(group_blocks, B_total)
+    if B_total <= group:
+        return _pallas_group(vb_all, w, block, L, interpret)
     vb_groups = _group_pad(vb_all, group, n)
 
     def run_group(vb):
