@@ -64,44 +64,56 @@ def analyze_stack(
 _GOOD_CFG: dict = {}
 
 
-def analyze_stack_pallas(
+def dispatch_stack_pallas(
     stack: LabeledStack, cfg=None, n_bucket: Optional[int] = None
-) -> FeatureTable:
-    """Pallas fused-kernel engine (ops/pallas_block.py) — bit-identical to
-    the blocked engine, ~one HBM read per voxel."""
+):
+    """Asynchronously launch one Pallas sweep (no host sync).
+
+    Returns an opaque handle for :func:`collect_stack_pallas`. Dispatching
+    sweeps for several device-placed stacks before collecting any of them is
+    the data-parallel path for time series: frames run concurrently."""
     from tissue_analysis_tpu.ops import pallas_block
-    from tissue_analysis_tpu.utils import timing
 
     n = stack.n_labels
     n_sweep = n if n_bucket is None else max(n, int(n_bucket))
     cfg_key = ("pallas", stack.shape, n_sweep)
     if cfg is None:
         cfg = _GOOD_CFG.get(cfg_key) or pallas_block.PallasConfig()
-    voxels = int(np.prod(stack.shape))
+    out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
+    return (stack, cfg, cfg_key, n, n_sweep, out)
+
+
+def collect_stack_pallas(handle) -> FeatureTable:
+    """Block on one dispatched sweep; resolves overflow retries inline."""
+    from tissue_analysis_tpu.ops import pallas_block
+
+    stack, cfg, cfg_key, n, n_sweep, out = handle
+    from tissue_analysis_tpu.utils import timing
+
     for _attempt in range(12):
-        with timing.stage("device sweep (pallas)", voxels):
-            out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
-            # ONE batched device→host transfer (round trips cost latency)
-            (
-                table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
-            ) = jax.device_get(out)
-            n_runs = int(n_runs)
+        # ONE batched device→host transfer (round trips cost latency)
+        (
+            table, gmin, gmax, skey, total, n_runs, dict_ovf, pair_ovf
+        ) = jax.device_get(out)
+        n_runs = int(n_runs)
+        retry = None
         if bool(dict_ovf):
-            cfg = dataclasses.replace(
+            retry = dataclasses.replace(
                 cfg,
                 max_labels_per_block=cfg.max_labels_per_block * 2,
                 seam_max_labels=cfg.seam_max_labels * 2,
             )
-            continue
-        if bool(pair_ovf):
-            cfg = dataclasses.replace(
+        elif bool(pair_ovf):
+            retry = dataclasses.replace(
                 cfg,
                 max_pairs_per_block=cfg.max_pairs_per_block * 4,
                 max_pairs_per_seam_tile=cfg.max_pairs_per_seam_tile * 4,
             )
-            continue
-        if n_runs > 3 * cfg.derived_max_pairs(n_sweep):
-            cfg = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
+        elif n_runs > 3 * cfg.derived_max_pairs(n_sweep):
+            retry = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
+        if retry is not None:
+            cfg = retry
+            out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
             continue
         _GOOD_CFG[cfg_key] = cfg
         with timing.stage("readback + host assemble"):
@@ -129,6 +141,19 @@ def analyze_stack_pallas(
             ),
         )
     raise RuntimeError("pallas sweep failed to converge on buffer sizes")
+
+
+def analyze_stack_pallas(
+    stack: LabeledStack, cfg=None, n_bucket: Optional[int] = None
+) -> FeatureTable:
+    """Pallas fused-kernel engine (ops/pallas_block.py) — bit-identical to
+    the blocked engine, ~one HBM read per voxel."""
+    from tissue_analysis_tpu.utils import timing
+
+    voxels = int(np.prod(stack.shape))
+    with timing.stage("device sweep (pallas)", voxels):
+        handle = dispatch_stack_pallas(stack, cfg=cfg, n_bucket=n_bucket)
+        return collect_stack_pallas(handle)
 
 
 def analyze_stack_blocked(

@@ -89,6 +89,8 @@ def analyze_series(
     round-robined across them (data parallelism over timepoints; results
     are independent of placement).
     """
+    import jax
+
     stacks = [
         LabeledStack.from_array(
             img, voxelsize=voxelsize or getattr(img, "voxelsize", None),
@@ -96,31 +98,56 @@ def analyze_series(
         )
         for img in images
     ]
-    tables: List[FeatureTable] = []
     bucket_by_shape: Dict[tuple, int] = {}
     for s in stacks:
         key = s.shape
         bucket_by_shape[key] = max(bucket_by_shape.get(key, 0), _bucket(s.n_labels))
-    import jax
 
     devs = list(devices) if devices else [None]
+    placed: List[LabeledStack] = []
     for i, s in enumerate(stacks):
-        if s.ndim != 3:
-            tables.append(analyze_stack(s))
-            continue
-        dense = s.dense
         dev = devs[i % len(devs)]
         if dev is not None:
-            dense = jax.device_put(dense, dev)
             s = LabeledStack(
-                dense=dense,
+                dense=jax.device_put(s.dense, dev),
                 ids=s.ids,
                 voxelsize=s.voxelsize,
                 background_segment=s.background_segment,
             )
-        tables.append(
-            analyze_stack_blocked(s, n_bucket=bucket_by_shape[s.shape])
+        placed.append(s)
+
+    use_pallas = jax.default_backend() == "tpu"
+    tables: List[Optional[FeatureTable]] = [None] * len(placed)
+    if use_pallas:
+        # two-phase data parallelism: dispatch every frame's sweep first
+        # (frames on different devices run concurrently), then collect
+        from tissue_analysis_tpu.engine import (
+            collect_stack_pallas,
+            dispatch_stack_pallas,
         )
+
+        handles: List = [None] * len(placed)
+        for i, s in enumerate(placed):
+            if s.ndim == 3:
+                try:
+                    handles[i] = dispatch_stack_pallas(
+                        s, n_bucket=bucket_by_shape[s.shape]
+                    )
+                except ValueError:
+                    handles[i] = None
+        for i, h in enumerate(handles):
+            if h is not None:
+                tables[i] = collect_stack_pallas(h)
+
+    for i, s in enumerate(placed):
+        if tables[i] is not None:
+            continue
+        if s.ndim != 3:
+            tables[i] = analyze_stack(s)
+        else:
+            tables[i] = analyze_stack_blocked(
+                s, n_bucket=bucket_by_shape[s.shape]
+            )
     return tables
 
 
