@@ -132,7 +132,8 @@ class LabeledStack:
         if ids.shape[0] <= 0xFFFF:
             # segment ids (and the pad sentinel n_labels) fit uint16 — halve
             # the host->device transfer; device sweeps upcast lazily
-            dense = dense.astype(np.uint16)
+            # (copy=False: the native relabel already emits uint16)
+            dense = dense.astype(np.uint16, copy=False)
         with timing.stage("ingest: host->device transfer", int(arr.size)):
             dense_dev = jnp.asarray(dense)
 

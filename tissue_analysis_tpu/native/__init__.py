@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ["available", "relabel", "load"]
 
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 _SRC = os.path.join(os.path.dirname(__file__), "relabel.cpp")
 
 _DTYPE_CODES = {
@@ -81,12 +81,15 @@ def load() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(so_path)
-        lib.ta_relabel.restype = ctypes.c_int64
-        lib.ta_relabel.argtypes = [
+        argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.ta_relabel.restype = ctypes.c_int64
+        lib.ta_relabel.argtypes = argtypes
+        lib.ta_relabel_u16.restype = ctypes.c_int64
+        lib.ta_relabel_u16.argtypes = argtypes
         lib.ta_native_abi_version.restype = ctypes.c_int64
         if lib.ta_native_abi_version() != _ABI_VERSION:
             raise OSError("stale native build")
@@ -118,12 +121,17 @@ def relabel(
     if code is None:
         return None
     n = arr.size
-    dense = np.empty(arr.shape, dtype=np.int32)
+    # first attempt writes uint16 dense directly (halves the write traffic
+    # and skips the downstream downcast pass); falls back to int32 when the
+    # label count exceeds the uint16 segment space
+    out_dtype = np.uint16
+    fn = lib.ta_relabel_u16
     max_ids = 1 << 16
     while True:
+        dense = np.empty(arr.shape, dtype=out_dtype)
         ids = np.empty(max_ids, dtype=np.int64)
         bg_seg = ctypes.c_int64(-1)
-        res = lib.ta_relabel(
+        res = fn(
             arr.ctypes.data_as(ctypes.c_void_p),
             n,
             code,
@@ -138,6 +146,9 @@ def relabel(
             return None  # unsupported dtype (shouldn't happen, gated above)
         if res < 0:
             max_ids = int(-res)
+            if out_dtype == np.uint16 and max_ids > 0xFFFF:
+                out_dtype = np.int32
+                fn = lib.ta_relabel
             continue
         n_ids = int(res)
         bg = int(bg_seg.value)

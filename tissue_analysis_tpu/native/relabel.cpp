@@ -31,9 +31,9 @@
 namespace {
 
 // ---------- small-domain path: direct presence table (u8/u16) ----------
-template <typename T>
+template <typename T, typename OutT>
 int64_t relabel_direct(const T* in, int64_t n, int64_t background,
-                       bool has_background, int32_t* dense, int64_t* ids,
+                       bool has_background, OutT* dense, int64_t* ids,
                        int64_t max_ids, int64_t* bg_segment_out) {
   constexpr int64_t DOMAIN = int64_t(1) << (8 * sizeof(T));
   std::vector<uint8_t> present(DOMAIN, 0);
@@ -79,7 +79,7 @@ int64_t relabel_direct(const T* in, int64_t n, int64_t background,
   *bg_segment_out = bg_segment;
 
 #pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < n; ++i) dense[i] = rank[in[i]];
+  for (int64_t i = 0; i < n; ++i) dense[i] = OutT(rank[in[i]]);
   return n_ids;
 }
 
@@ -125,9 +125,9 @@ struct Hash {
   }
 };
 
-template <typename T>
+template <typename T, typename OutT>
 int64_t relabel_hash(const T* in, int64_t n, int64_t background,
-                     bool has_background, int32_t* dense, int64_t* ids,
+                     bool has_background, OutT* dense, int64_t* ids,
                      int64_t max_ids, int64_t* bg_segment_out) {
   int nthreads = 1;
 #ifdef _OPENMP
@@ -193,18 +193,17 @@ int64_t relabel_hash(const T* in, int64_t n, int64_t background,
 
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i)
-    dense[i] = rank.vals[rank.find(int64_t(in[i]))];
+    dense[i] = OutT(rank.vals[rank.find(int64_t(in[i]))]);
   return n_ids;
 }
 
 }  // namespace
 
-extern "C" {
-
-int64_t ta_relabel(const void* in, int64_t n, int dtype_code,
-                   int64_t background, int has_background, int32_t* dense_out,
-                   int64_t* ids_out, int64_t max_ids,
-                   int64_t* bg_segment_out) {
+template <typename OutT>
+int64_t relabel_any(const void* in, int64_t n, int dtype_code,
+                    int64_t background, int has_background, OutT* dense_out,
+                    int64_t* ids_out, int64_t max_ids,
+                    int64_t* bg_segment_out) {
   switch (dtype_code) {
     case 0:
       return relabel_direct(static_cast<const uint8_t*>(in), n, background,
@@ -235,7 +234,28 @@ int64_t ta_relabel(const void* in, int64_t n, int dtype_code,
   }
 }
 
+extern "C" {
+
+int64_t ta_relabel(const void* in, int64_t n, int dtype_code,
+                   int64_t background, int has_background, int32_t* dense_out,
+                   int64_t* ids_out, int64_t max_ids,
+                   int64_t* bg_segment_out) {
+  return relabel_any(in, n, dtype_code, background, has_background, dense_out,
+                     ids_out, max_ids, bg_segment_out);
+}
+
+// uint16 dense output — valid only when the label count fits (caller retries
+// via ta_relabel if the returned count exceeds 0xFFFF).
+int64_t ta_relabel_u16(const void* in, int64_t n, int dtype_code,
+                       int64_t background, int has_background,
+                       uint16_t* dense_out, int64_t* ids_out, int64_t max_ids,
+                       int64_t* bg_segment_out) {
+  if (max_ids > 0xFFFF) max_ids = 0xFFFF;
+  return relabel_any(in, n, dtype_code, background, has_background, dense_out,
+                     ids_out, max_ids, bg_segment_out);
+}
+
 // Version tag so the Python side can invalidate stale cached builds.
-int64_t ta_native_abi_version() { return 1; }
+int64_t ta_native_abi_version() { return 2; }
 
 }  // extern "C"
