@@ -1,11 +1,17 @@
 """One-call fused analysis: labeled image → FeatureTable.
 
 The TPU-native replacement for the reference's whole per-feature pass
-structure (SURVEY.md §3.5 "aggregate hot-loop picture"): two device sweeps
-(`ops.segred.moment_sweep`, `ops.stencil.pair_sweep`) plus a tiny host
-finalize. Everything downstream (the `SpatialImageAnalysis` facade, the
-property-graph export) is served from the resulting table without touching
-voxels again.
+structure (SURVEY.md §3.5 "aggregate hot-loop picture"): ONE fused device
+pass plus a tiny exact host finalize. Three interchangeable engines produce
+bit-identical tables:
+
+- 'pallas'  (TPU default)  — fused Mosaic kernel, ops/pallas_block.py
+- 'blocked' (non-TPU)      — scatter-free XLA formulation, ops/blocked.py
+- 'chunked' (2D, fallback) — segment-scatter sweeps, ops/segred + stencil
+
+Everything downstream (the `SpatialImageAnalysis` facade, the property-graph
+export, temporal/series pipelines) is served from the resulting table
+without touching voxels again.
 """
 
 from __future__ import annotations
@@ -21,7 +27,15 @@ from tissue_analysis_tpu.core.stack import LabeledStack
 from tissue_analysis_tpu.features.table import FeatureTable
 from tissue_analysis_tpu.ops import blocked, segred, stencil
 
-__all__ = ["analyze", "analyze_stack", "analyze_stack_chunked"]
+__all__ = [
+    "analyze",
+    "analyze_stack",
+    "analyze_stack_pallas",
+    "analyze_stack_blocked",
+    "analyze_stack_chunked",
+    "dispatch_stack_pallas",
+    "collect_stack_pallas",
+]
 
 
 def analyze_stack(
