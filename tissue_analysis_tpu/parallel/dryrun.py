@@ -1,0 +1,77 @@
+"""Multi-chip dryrun body — runs the full z-slab-sharded pipeline on a
+virtual CPU mesh and asserts bit-equality against the single-device engine.
+
+This module is executed in a CLEAN SUBPROCESS by ``__graft_entry__.
+dryrun_multichip`` (see there for why: the parent process may already have
+initialized a TPU backend, and platform selection is immutable after JAX
+init). It therefore forces the CPU backend itself, defensively, before any
+other JAX API touch — correct whether invoked via the scrubbed subprocess
+or directly (``python -m tissue_analysis_tpu.parallel.dryrun 8``).
+
+Parity target: the sharding-equivalence spec, SURVEY.md §4 item 3.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def run(n_devices: int) -> None:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    # the axon sitecustomize force-selects the TPU platform at interpreter
+    # start, overriding JAX_PLATFORMS; config.update after import wins as
+    # long as no backend has been initialized yet
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    from tissue_analysis_tpu.engine import analyze_stack
+    from tissue_analysis_tpu.parallel.sharded import (
+        analyze_sharded_blocked,
+        analyze_sharded_chunked,
+        analyze_sharded_pallas,
+        make_mesh,
+    )
+
+    devs = jax.devices()
+    assert len(devs) >= n_devices, (
+        f"expected >= {n_devices} devices, got {len(devs)}: {devs}"
+    )
+    assert devs[0].platform == "cpu", f"dryrun must run on cpu, got {devs[0]}"
+
+    # z extent deliberately NOT divisible by n_devices: exercises pad path
+    img = voronoi_stack((30, 24, 24), 25, seed=3)
+    stack = LabeledStack.from_array(np.asarray(img), background=1)
+    mesh = make_mesh(n_devices)
+    t_single = analyze_stack(stack)
+
+    def check(t_sharded, name):
+        for field in (
+            "count", "s1", "s2", "cmin", "cmax",
+            "pair_lo", "pair_hi", "wall_face_counts", "margin",
+        ):
+            a = getattr(t_sharded, field)
+            b = getattr(t_single, field)
+            assert np.array_equal(a, b), f"{name}: {field} mismatch"
+
+    # all three sharded engines: pallas (fused kernel; interpret mode off
+    # TPU), blocked (matmul/sort) and chunked (segment scan)
+    check(analyze_sharded_pallas(stack, mesh=mesh), "pallas")
+    check(analyze_sharded_blocked(stack, mesh=mesh), "blocked")
+    check(analyze_sharded_chunked(stack, mesh=mesh), "chunked")
+    print(f"dryrun_multichip ok: {n_devices} devices, all engines bit-equal")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
