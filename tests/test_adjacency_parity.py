@@ -97,3 +97,32 @@ def test_pair_buffer_overflow_rerun():
     assert small.n_pairs == full.n_pairs
     np.testing.assert_array_equal(small.pair_lo, full.pair_lo)
     np.testing.assert_array_equal(small.wall_face_counts, full.wall_face_counts)
+
+
+def test_adjacency_label_below_background():
+    """Regression: labels smaller than the background must not corrupt
+    neighbor lists (the vectorized grouping previously assumed table.ids
+    was sorted, but the background label is swapped to segment 0)."""
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    from tissue_analysis_tpu.oracle import ScipyOracle
+
+    img = np.asarray(voronoi_stack((12, 12, 12), 8, seed=2))
+    # remap so the background is LARGER than half the cell labels:
+    # bg 1 -> 50; cells 2..k alternate below (2, 3, ...) / above (100+)
+    uniq = [u for u in np.unique(img) if u != 1]
+    new = {1: 50}
+    for i, u in enumerate(uniq):
+        new[u] = (2 + i // 2) if (i % 2 == 0) else (100 + i)
+    out = img.copy()
+    for u, v in new.items():
+        out[img == u] = v
+
+    table = analyze(out, background=50)
+    oracle = ScipyOracle(out, background=50)
+    assert table.adjacency() == oracle.neighbors()
+    # every neighbor list must also be internally consistent (symmetric)
+    got = table.adjacency()
+    for l, nbs in got.items():
+        assert nbs == sorted(nbs)
+        for nb in nbs:
+            assert l in got[nb]

@@ -185,3 +185,17 @@ def test_analysis_config():
     # explicit kwarg overrides the config field
     b = SpatialImageAnalysis(np.asarray(img), config=cfg, return_type=0)
     assert isinstance(b.volume(), dict)
+
+
+def test_explicit_background_1_overrides_config(small3d):
+    """Regression (ADVICE r1): an explicit background=1 kwarg must override
+    an AnalysisConfig whose background differs — the old `background != 1`
+    check conflated 'not passed' with 'explicitly 1'."""
+    from tissue_analysis_tpu.analysis import AnalysisConfig, SpatialImageAnalysis
+
+    cfg = AnalysisConfig(background=7)
+    a = SpatialImageAnalysis(small3d, background=1, config=cfg)
+    assert a.background() == 1
+    # and not passing background keeps the config's value
+    b = SpatialImageAnalysis(small3d, config=cfg)
+    assert b.background() == 7

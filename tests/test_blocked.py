@@ -86,3 +86,28 @@ def test_blocked_single_block():
     img = voronoi_stack((16, 16, 16), 8, seed=4)
     cfg = BlockConfig(block=(16, 16, 16))
     _cmp(img, cfg=cfg)  # no seams at all
+
+
+def test_2d_blocked_matches_chunked():
+    """2D images ride the blocked engine via the z=1 lift (VERDICT r1 weak
+    #5) and must stay bit-identical to the chunked 2D path."""
+    import numpy as np
+
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    from tissue_analysis_tpu.engine import (
+        analyze_stack_blocked,
+        analyze_stack_chunked,
+        analyze_stack_pallas,
+    )
+
+    img = voronoi_stack((96, 80), 60, seed=4, voxelsize=(0.5, 2.0))
+    stack = LabeledStack.from_array(np.asarray(img), background=1)
+    tc = analyze_stack_chunked(stack)
+    tb = analyze_stack_blocked(stack)
+    tp = analyze_stack_pallas(stack)
+    for t in (tb, tp):
+        assert t.shape == tc.shape and t.voxelsize == tc.voxelsize
+        for f in ("count", "s1", "s2", "cmin", "cmax",
+                  "pair_lo", "pair_hi", "wall_face_counts", "margin"):
+            assert np.array_equal(getattr(t, f), getattr(tc, f)), f

@@ -54,13 +54,19 @@ class AnalysisConfig:
     engine: str = "auto"  # 'auto' | 'blocked' | 'pallas' | 'chunked'
 
 
+# sentinel distinguishing "background not passed" from an explicit value
+# (an explicit background=1 must be able to override a config whose
+# background differs — the old `background != 1` check conflated the two)
+_UNSET = object()
+
+
 class AbstractSpatialImageAnalysis:
     def __init__(
         self,
         image,
         ignoredlabels: Union[int, Iterable[int], None] = None,
         return_type: Optional[int] = None,
-        background: Optional[int] = 1,
+        background=_UNSET,
         config: Optional[AnalysisConfig] = None,
     ):
         self.image = (
@@ -69,7 +75,7 @@ class AbstractSpatialImageAnalysis:
             else SpatialImage(np.asarray(image))
         )
         self.config = config or AnalysisConfig(
-            background=background,
+            background=1 if background is _UNSET else background,
             ignoredlabels=()
             if ignoredlabels is None
             else (ignoredlabels,)
@@ -88,7 +94,7 @@ class AbstractSpatialImageAnalysis:
                 )
             if return_type is not None:
                 override["return_type"] = return_type
-            if background != 1:
+            if background is not _UNSET:
                 override["background"] = background
             if override:
                 self.config = dataclasses.replace(self.config, **override)

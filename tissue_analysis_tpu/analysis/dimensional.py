@@ -151,19 +151,71 @@ class SpatialImageAnalysis2D(AbstractSpatialImageAnalysis):
 
 class SpatialImageAnalysis3DS(SpatialImageAnalysis3D):
     """Surfacic (2.5D) variant for thin/curved monolayer tissue
-    (``:: SpatialImageAnalysis3DS``, [M] in SURVEY.md — behavior kept
-    identical to 3D except the L1 definition, since a monolayer is entirely
-    epidermal: every non-background cell with any background contact is L1)."""
+    (``:: SpatialImageAnalysis3DS``, SURVEY.md §2.1 row 5 [M] —
+    reconstruction; the reference mount was empty, see SURVEY.md §0).
 
-    def L1(self, background: Optional[int] = None):
-        return super().L1(background=background)
+    Model: surfacic stacks come from surface segmentations (MARS-style
+    meristem surfaces) where a one-cell-thick monolayer drapes a curved
+    surface. Besides the OUTSIDE background, such stacks carry an
+    unsegmented INSIDE region (a filler label for everything beneath the
+    monolayer). Pass it as ``inside_label=``; the variant then treats it as
+    non-cell tissue:
+
+    - ``labels()`` / ``nb_labels()`` / ``neighbors()`` / ``wall_surfaces()``
+      exclude the inside label (it is added to ``ignoredlabels``), so
+      adjacency is the *lateral* cell-cell graph;
+    - ``L1()`` is every cell in contact with the outside background — in a
+      true monolayer that is every cell;
+    - ``epidermis_surface()`` is the exposed (apical) area: contact with the
+      outside background;
+    - ``basal_surface()`` (new, surfacic-only) is the contact area with the
+      inside region;
+    - ``area()`` is the surfacic cell area on the curved surface — the
+      apical contact area, NOT the voxel volume.
+
+    Without ``inside_label`` the variant degrades gracefully to 3D behavior
+    (thin stacks auto-dispatch here, SURVEY.md §3.1).
+    """
+
+    def __init__(self, image, *args, inside_label: Optional[int] = None, **kwargs):
+        super().__init__(image, *args, **kwargs)
+        self._inside_label = None if inside_label is None else int(inside_label)
+        if self._inside_label is not None:
+            self.add2ignoredlabels([self._inside_label])
+
+    @property
+    def inside_label(self) -> Optional[int]:
+        return self._inside_label
+
+    def basal_surface(self, labels=None, real: bool = True):
+        """Contact area with the inside (sub-monolayer) region per cell."""
+        asked_scalar = labels is not None and np.isscalar(labels)
+        req = self.label_request(labels)
+        t = self.table()
+        seg = (
+            None
+            if self._inside_label is None
+            else t.segment_of(self._inside_label)
+        )
+        if seg is None:
+            vals = np.zeros(t.n_labels, dtype=np.float64 if real else np.int64)
+        else:
+            vals = t.wall_area_with(seg, real=real)
+        res = self._per_label(req, vals, missing=0.0 if real else 0)
+        return self.convert_return(res, req, asked_scalar)
+
+    def area(self, labels=None, real: bool = True):
+        """Surfacic cell area = exposed (apical) contact area."""
+        labels = self.labels() if labels is None else labels
+        return self.epidermis_surface(labels=labels, real=real)
 
 
 def SpatialImageAnalysis(image, *args, **kwargs):
     """Dispatch factory (``:: SpatialImageAnalysis`` factory, SURVEY.md §3.1).
 
     2D images → ``SpatialImageAnalysis2D``; 3D → ``SpatialImageAnalysis3D``;
-    thin 3D stacks (one axis ≤ 3 voxels) → the surfacic ``3DS`` variant.
+    thin 3D stacks (one axis ≤ 3 voxels) or an ``inside_label=`` kwarg
+    (curved-monolayer surface segmentations) → the surfacic ``3DS`` variant.
     Pass ``variant='3D'|'3DS'|'2D'`` to override.
     """
     variant = kwargs.pop("variant", "auto")
@@ -172,6 +224,9 @@ def SpatialImageAnalysis(image, *args, **kwargs):
         return SpatialImageAnalysis2D(image, *args, **kwargs)
     if arr.ndim != 3:
         raise ValueError(f"expected 2D or 3D labeled image, got ndim={arr.ndim}")
-    if variant == "3DS" or (variant == "auto" and min(arr.shape) <= 3):
+    if variant == "3DS" or (
+        variant == "auto"
+        and (min(arr.shape) <= 3 or kwargs.get("inside_label") is not None)
+    ):
         return SpatialImageAnalysis3DS(image, *args, **kwargs)
     return SpatialImageAnalysis3D(image, *args, **kwargs)

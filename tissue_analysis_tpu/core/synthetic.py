@@ -17,7 +17,7 @@ import scipy.ndimage as nd
 
 from tissue_analysis_tpu.core.spatial_image import SpatialImage
 
-__all__ = ["voronoi_stack", "two_slab_image", "single_cube_image"]
+__all__ = ["voronoi_stack", "two_slab_image", "single_cube_image", "grid_stack", "monolayer_shell"]
 
 
 def voronoi_stack(
@@ -85,3 +85,71 @@ def single_cube_image(shape=(12, 12, 12), background=1, voxelsize=None) -> Spati
     sl = tuple(slice(s // 4, 3 * s // 4) for s in shape)
     img[sl] = 5
     return SpatialImage(img, voxelsize=voxelsize or (1.0,) * len(shape))
+
+
+def grid_stack(
+    shape: Tuple[int, ...],
+    cell: Tuple[int, ...],
+    voxelsize: Optional[Tuple[float, ...]] = None,
+) -> SpatialImage:
+    """Regular grid of box cells — analytic ground truth at any label count.
+
+    Cell (i, j, k) of extent ``cell`` gets label ``1 + flat_index`` (labels
+    1..N, no background). Shape must be divisible by ``cell``. Used by the
+    high-label-count tests (>2^16 cells) where the per-label scipy-dilation
+    oracle is too slow but adjacency/moments are known in closed form.
+    """
+    if any(s % c for s, c in zip(shape, cell)):
+        raise ValueError("shape must be divisible by cell")
+    grid = tuple(s // c for s, c in zip(shape, cell))
+    n = int(np.prod(grid))
+    labels = np.arange(1, n + 1, dtype=np.int64).reshape(grid)
+    out = labels
+    for ax, c in enumerate(cell):
+        out = np.repeat(out, c, axis=ax)
+    dtype = np.uint16 if n + 1 <= 0xFFFF else np.int32
+    return SpatialImage(out.astype(dtype), voxelsize=voxelsize)
+
+
+def monolayer_shell(
+    shape: Tuple[int, int, int] = (40, 40, 40),
+    ncells: int = 48,
+    seed: int = 0,
+    background: int = 1,
+    inside: int = 2,
+    r_out: float = 0.44,
+    thickness: float = 0.16,
+    voxelsize: Optional[Tuple[float, float, float]] = None,
+) -> SpatialImage:
+    """Curved one-cell-thick monolayer over an inside filler (surfacic
+    fixture for ``SpatialImageAnalysis3DS``).
+
+    A spherical shell (outer radius ``r_out``·min(shape), thickness
+    ``thickness``·min(shape)) is Voronoi-partitioned between ``ncells``
+    seeds on the mid-surface (labels ``inside+1 ...``); everything outside
+    the shell is ``background``, everything beneath it the unsegmented
+    ``inside`` filler — the surface-segmentation layout of MARS-style
+    meristem stacks.
+    """
+    rng = np.random.default_rng(seed)
+    c = (np.asarray(shape, np.float64) - 1) / 2
+    scale = min(shape)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    pos = np.stack([zz, yy, xx], axis=-1).astype(np.float64) - c
+    r = np.sqrt((pos**2).sum(-1))
+    ro = r_out * scale
+    ri = (r_out - thickness) * scale
+    shell = (r <= ro) & (r > ri)
+
+    dirs = rng.normal(size=(ncells, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    seeds = dirs * (ro + ri) / 2
+    # nearest seed per shell voxel (ncells is small: brute force is fine)
+    sv = pos[shell]  # [M, 3]
+    d2 = ((sv[:, None, :] - seeds[None, :, :]) ** 2).sum(-1)
+    lab = np.argmin(d2, axis=1).astype(np.int64) + inside + 1
+
+    img = np.full(shape, background, dtype=np.uint16)
+    img[r <= ri] = inside
+    img[shell] = lab
+    return SpatialImage(img, voxelsize=voxelsize or (1.0, 1.0, 1.0))

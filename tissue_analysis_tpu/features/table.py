@@ -126,15 +126,19 @@ class FeatureTable:
         la = self.ids[self.pair_lo[keep]]
         lb = self.ids[self.pair_hi[keep]]
         nbh: Dict[int, List[int]] = {int(l): [] for l in self.ids}
-        # symmetric COO -> per-label sorted neighbor lists, vectorized
+        # symmetric COO -> per-label sorted neighbor lists, vectorized.
+        # NB: self.ids is NOT sorted (the background label is swapped to
+        # segment 0), so each label's run must be located with left/right
+        # searchsorted bounds — consecutive-bounds slicing silently corrupts
+        # neighbor lists whenever a label is smaller than the background.
         src = np.concatenate([la, lb])
         dst = np.concatenate([lb, la])
         order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
-        bounds = np.searchsorted(src, self.ids)
-        bounds = np.append(bounds, src.shape[0])
+        left = np.searchsorted(src, self.ids, side="left")
+        right = np.searchsorted(src, self.ids, side="right")
         for i, l in enumerate(self.ids):
-            nbh[int(l)] = dst[bounds[i] : bounds[i + 1]].tolist()
+            nbh[int(l)] = dst[left[i] : right[i]].tolist()
         return nbh
 
     def pair_area_map(self) -> Dict[Tuple[int, int], float]:
@@ -162,18 +166,28 @@ class FeatureTable:
     def l1_labels(self) -> List[int]:
         return sorted(int(self.ids[s]) for s in self.l1_segments())
 
+    def wall_area_with(self, segment: int, real: bool = True) -> np.ndarray:
+        """Per-segment contact with one fixed segment: real area f64[N], or
+        voxel-face totals int64[N] when ``real`` is False. Serves both the
+        epidermis (segment = background) and the surfacic variant's basal
+        surface (segment = inside filler)."""
+        if real:
+            out = np.zeros(self.n_labels, dtype=np.float64)
+            w = self.wall_areas()
+        else:
+            out = np.zeros(self.n_labels, dtype=np.int64)
+            w = self.wall_voxel_face_totals()
+        lo_is = self.pair_lo == segment
+        hi_is = self.pair_hi == segment
+        np.add.at(out, self.pair_hi[lo_is], w[lo_is])
+        np.add.at(out, self.pair_lo[hi_is], w[hi_is])
+        return out
+
     def epidermis_wall_area(self) -> np.ndarray:
         """Real wall area with the background per segment, f64[N] (0 if none)."""
-        out = np.zeros(self.n_labels, dtype=np.float64)
         if self.background_segment is None:
-            return out
-        bg = self.background_segment
-        areas = self.wall_areas()
-        lo_is_bg = self.pair_lo == bg
-        hi_is_bg = self.pair_hi == bg
-        np.add.at(out, self.pair_hi[lo_is_bg], areas[lo_is_bg])
-        np.add.at(out, self.pair_lo[hi_is_bg], areas[hi_is_bg])
-        return out
+            return np.zeros(self.n_labels, dtype=np.float64)
+        return self.wall_area_with(self.background_segment, real=True)
 
     def margin_labels(self) -> List[int]:
         """Labels touching the array boundary (``:: cells_in_image_margins``)."""

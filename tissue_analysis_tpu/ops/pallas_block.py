@@ -84,8 +84,11 @@ def _check_static_pallas(shape, n_labels, cfg: PallasConfig) -> None:
     K = bz * by * bx
     L = cfg.max_labels_per_block
     n = n_labels
-    if n * n * 4 + 3 > int(_IMAX):
-        raise ValueError("n_labels exceeds the int32 pair-key space")
+    if n * 4 + 3 > int(_IMAX):
+        raise ValueError(
+            "n_labels exceeds the int32 (hi·4 + axis) sort-key space "
+            "(n must be < 2^29)"
+        )
     if K * L * L > int(_IMAX):
         raise ValueError("count·L² pair packing would overflow int32")
     padded = tuple(g * b for g, b in zip(_grid(shape, cfg.block), cfg.block))
@@ -258,6 +261,10 @@ def _pallas_group(vb, w, block, L, interpret):
     outs = pl.pallas_call(
         kernel,
         grid=(B,),
+        # larger dictionaries (L = 64 after a dict-overflow retry) need
+        # ~16.01 MB of scoped VMEM — just past the 16 MB default limit;
+        # the v5e has 128 MB, so raise the ceiling for headroom
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, K // 8), mat, memory_space=pltpu.VMEM),
@@ -348,7 +355,7 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
     single-device sweep and the z-slab shard_map pipeline).
 
     Returns fn(dense_slab, z_off) -> (ids [B, L], cols [B·L, C] (split),
-    gmin/gmax rows, gkeys, counts, tags, dict_ovf, pair_ovf) with all z
+    gmin/gmax rows, los, his, counts, tags, dict_ovf, pair_ovf) with all z
     coordinates offset by the traced scalar z_off.
     """
     block = cfg.block
@@ -368,10 +375,12 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
 
     def slab_pass(dense_slab, z_off):
         # keep uint16 end-to-end — at 1024³ the int32 copies alone would
-        # blow HBM. Always sound: _check_static_pallas caps n at 23169
-        # (int32 pair keyspace), far below the uint16 limit.
-        if dense_slab.dtype != jnp.uint16:
+        # blow HBM. Sound only while every id (incl. the pad label n) fits
+        # uint16; larger label counts stay in int32.
+        if dense_slab.dtype != jnp.uint16 and n <= 65535:
             dense_slab = dense_slab.astype(jnp.uint16)
+        elif dense_slab.dtype not in (jnp.uint16, jnp.int32):
+            dense_slab = dense_slab.astype(jnp.int32)
         dense = _pad_to_blocks(dense_slab, n, block)
         vb = _blockify(dense, block)  # [B, bz, by, bx]
         offs = jnp.asarray(offs_np).at[:, 0].add(jnp.asarray(z_off, jnp.int32))
@@ -385,22 +394,24 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         cols = blocked._split_rows(cols)  # [B, L, 68]
         B = ids.shape[0]
 
-        gkeys, counts, tags = [], [], []
+        los, his, counts, tags = [], [], [], []
         pair_overflow = jnp.zeros((), bool)
         for ax, mats in enumerate((pz, py, px)):
-            gk, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
-            gkeys.append(gk)
+            lo, hi, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+            los.append(lo)
+            his.append(hi)
             counts.append(ct)
-            tags.append(jnp.full(gk.shape, ax, jnp.int32))
+            tags.append(jnp.full(lo.shape, ax, jnp.int32))
             pair_overflow = pair_overflow | jnp.any(ov)
 
-        sk, sc, st, dovf_s, povf_s = seam_pair_entries(
+        slo, shi, sct, stg, dovf_s, povf_s = seam_pair_entries(
             dense, block, n, cfg.seam_max_labels,
             cfg.max_pairs_per_seam_tile, tile=cfg.seam_tile,
         )
-        gkeys += sk
-        counts += sc
-        tags += st
+        los += slo
+        his += shi
+        counts += sct
+        tags += stg
         dict_overflow = dict_overflow | dovf_s
         pair_overflow = pair_overflow | povf_s
 
@@ -409,7 +420,8 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
             cols.reshape(B * L, -1),
             gmin_l.reshape(B * L, 3),
             gmax_l.reshape(B * L, 3),
-            jnp.concatenate(gkeys),
+            jnp.concatenate(los),
+            jnp.concatenate(his),
             jnp.concatenate(counts),
             jnp.concatenate(tags),
             dict_overflow,
@@ -426,16 +438,16 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
     slab_pass = build_pallas_slab_fn(shape, n, cfg, interpret)
 
     def sweep(dense):
-        ids, cols, gmin_l, gmax_l, gkeys, counts, tags, dovf, povf = (
+        ids, cols, gmin_l, gmax_l, los, his, counts, tags, dovf, povf = (
             slab_pass(dense, 0)
         )
         table, gmin, gmax = blocked._global_moment_combine(
             ids, cols, gmin_l, gmax_l, n
         )
-        skey, total, n_runs = _sorted_pair_reduce(
-            gkeys, counts, tags, n, max_entries
+        k1, k2, total, n_runs = _sorted_pair_reduce(
+            los, his, tags, counts, max_entries
         )
-        return table, gmin, gmax, skey, total, n_runs, dovf, povf
+        return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
 
     return jax.jit(sweep)
 

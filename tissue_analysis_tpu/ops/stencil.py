@@ -1,11 +1,11 @@
-"""Face-adjacency stencil sweep.
+"""Face-adjacency stencil sweep (chunked engine).
 
 For every axis d, compare the stack with its +1 shift; where labels differ an
 adjacent voxel pair (= one shared voxel *face*) exists between the two
-labels. Segment-summing encoded pair keys yields — in ONE sweep — everything
-the reference derives from per-cell `binary_dilation` loops and per-edge
-shifted-comparison loops (``spatial_image_analysis.py :: neighbors /
-cell_wall_surface / wall_surfaces``, SURVEY.md §3.3–3.4):
+labels. One sweep yields everything the reference derives from per-cell
+`binary_dilation` loops and per-edge shifted-comparison loops
+(``spatial_image_analysis.py :: neighbors / cell_wall_surface /
+wall_surfaces``, SURVEY.md §3.3–3.4):
 
 - the full cell-adjacency graph (COO pairs, 6-connectivity in 3D / 4 in 2D),
 - per-pair wall *voxel-face counts split by axis* (so anisotropic face areas
@@ -14,27 +14,32 @@ cell_wall_surface / wall_surfaces``, SURVEY.md §3.3–3.4):
 - labels present on the array margins (``:: cells_in_image_margins``), via a
   cheap extra reduction over the boundary hyperplanes.
 
-Pair keys live in the dense N² keyspace (``lo·N + hi``); the result is
-compacted on device to a fixed ``max_pairs`` COO buffer with an overflow
-flag, keeping shapes static (SURVEY.md §7 hard part #1).
+Pair identity is the TWO-key tuple (k1 = lo, k2 = hi·4 + axis) merged by a
+chunked 2-key sort + segmented-run reduce (``ops.blocked.
+_sorted_pair_reduce_keys``) — never a dense lo·N+hi keyspace, so the engine
+has no label-count ceiling and no N² accumulators (VERDICT r1 missing #2).
+The result is compacted on device to a fixed ``max_pairs`` COO buffer with
+an overflow signal, keeping shapes static (SURVEY.md §7 hard part #1).
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from tissue_analysis_tpu.ops.blocked import _IMAX, _sorted_pair_reduce_keys
 
 __all__ = [
     "pair_sweep",
     "adjacency_offsets",
     "connectivity_offsets",
     "default_max_pairs",
+    "pair_key_streams",
+    "chunked_key_reduce",
+    "compact_runs_to_coo",
 ]
-
-_INT32_MAX = 2**31 - 1
 
 
 def default_max_pairs(n_labels: int) -> int:
@@ -67,6 +72,119 @@ def connectivity_offsets(ndim: int, connectivity: int):
     return tuple(offs)
 
 
+def _shifted_views(lab, off):
+    """Flattened (a, b) label views for one shift offset."""
+    sl_a, sl_b = [], []
+    for d in range(lab.ndim):
+        if off[d] == 1:
+            sl_a.append(slice(0, lab.shape[d] - 1))
+            sl_b.append(slice(1, lab.shape[d]))
+        elif off[d] == -1:
+            sl_a.append(slice(1, lab.shape[d]))
+            sl_b.append(slice(0, lab.shape[d] - 1))
+        else:
+            sl_a.append(slice(None))
+            sl_b.append(slice(None))
+    return lab[tuple(sl_a)].reshape(-1), lab[tuple(sl_b)].reshape(-1)
+
+
+def pair_key_streams(lab, n_labels, offsets, tags):
+    """(k1, k2) sort-key streams for shifted-comparison pair entries.
+
+    ``lab`` int32; entries where the two labels differ AND both are real
+    (< n_labels — pad voxels carry the label n) get k1 = lo, k2 = hi·4+tag;
+    everything else is the (IMAX, IMAX) sentinel. Returns one concatenated
+    stream pair.
+    """
+    n = n_labels
+    k1s, k2s = [], []
+    for off, tag in zip(offsets, tags):
+        a, b = _shifted_views(lab, off)
+        valid = (a != b) & (a < n) & (b < n)
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        k1s.append(jnp.where(valid, lo, _IMAX))
+        k2s.append(jnp.where(valid, hi * 4 + tag, _IMAX))
+    return jnp.concatenate(k1s), jnp.concatenate(k2s)
+
+
+def chunked_key_reduce(k1, k2, chunk, entry_cap, max_entries):
+    """Reduce a voxel-scale (k1, k2) entry stream to per-run totals.
+
+    Two-level: sort each ``chunk``-sized piece and emit ≤ ``entry_cap``
+    (run, length) entries, then merge all per-chunk entries with one final
+    2-key sort-reduce sliced to ``max_entries``. Returns (k1, k2, total,
+    n_runs, chunk_overflow) — ``chunk_overflow`` means some chunk had more
+    distinct runs than ``entry_cap`` and the result undercounts (callers
+    rerun with a larger ``max_pairs``).
+    """
+    m = k1.shape[0]
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    if pad:
+        k1 = jnp.concatenate([k1, jnp.full((pad,), _IMAX, jnp.int32)])
+        k2 = jnp.concatenate([k2, jnp.full((pad,), _IMAX, jnp.int32)])
+    k1 = k1.reshape(n_chunks, chunk)
+    k2 = k2.reshape(n_chunks, chunk)
+    cap = min(chunk, entry_cap)
+
+    def body(ks):
+        c1, c2 = ks
+        return _sorted_pair_reduce_keys(c1, c2, jnp.ones_like(c1), cap)
+
+    r1, r2, rt, nr = jax.lax.map(body, (k1, k2))
+    chunk_ovf = jnp.any(nr > cap)
+    f1, f2, ft, n_runs = _sorted_pair_reduce_keys(
+        r1.reshape(-1), r2.reshape(-1), rt.reshape(-1), max_entries
+    )
+    return f1, f2, ft, n_runs, chunk_ovf
+
+
+def compact_runs_to_coo(k1, k2, total, max_pairs, ndim):
+    """Sorted (k1, k2, total) runs -> fixed COO buffers.
+
+    Returns (pair_lo [max_pairs], pair_hi [max_pairs],
+    counts [max_pairs, ndim], n_pairs) with pairs in ascending (lo, hi)
+    order — the same ordering invariant as the blocked engine.
+    """
+    valid = k1 < _IMAX
+    hi = k2 >> 2
+    ax = k2 & 3
+    new_pair = valid & jnp.concatenate(
+        [jnp.array([True]), (k1[1:] != k1[:-1]) | (hi[1:] != hi[:-1])]
+    )
+    pos = jnp.cumsum(new_pair.astype(jnp.int32)) - 1
+    n_pairs = pos[-1] + 1
+    tgt = jnp.where(valid, pos, max_pairs)
+    # duplicate tgt writes always carry the same (lo, hi) value ⇒ the
+    # scatter-set is deterministic despite duplicates
+    pair_lo = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(k1, mode="drop")
+    pair_hi = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(hi, mode="drop")
+    counts = (
+        jnp.zeros((max_pairs, ndim), jnp.int32)
+        .at[tgt, ax]
+        .set(total, mode="drop")
+    )
+    return pair_lo, pair_hi, counts, n_pairs
+
+
+def margin_presence(lab, n_labels):
+    """bool[n]: label present on any array boundary hyperplane."""
+    planes = []
+    for d in range(lab.ndim):
+        planes.append(jax.lax.index_in_dim(lab, 0, axis=d).reshape(-1))
+        planes.append(
+            jax.lax.index_in_dim(lab, lab.shape[d] - 1, axis=d).reshape(-1)
+        )
+    boundary = jnp.concatenate(planes)
+    return (
+        jax.ops.segment_max(
+            jnp.ones_like(boundary), boundary, num_segments=n_labels + 1
+        )[:n_labels]
+        > 0
+    )
+
+
 @partial(jax.jit, static_argnames=("n_labels", "offsets", "max_pairs", "chunk"))
 def adjacency_offsets(
     dense: jax.Array,
@@ -84,56 +202,19 @@ def adjacency_offsets(
     carry no physical face area — ``min_contact_area`` filtering stays
     face-based, matching the oracle).
     """
-    ndim = dense.ndim
-    n = n_labels
-    keyspace = n * n
-    if keyspace + 1 > _INT32_MAX:
-        raise ValueError("n_labels exceeds the dense pair keyspace")
     lab = dense.astype(jnp.int32)
-
-    def shifted_views(off):
-        sl_a, sl_b = [], []
-        for d in range(ndim):
-            if off[d] == 1:
-                sl_a.append(slice(0, lab.shape[d] - 1))
-                sl_b.append(slice(1, lab.shape[d]))
-            elif off[d] == -1:
-                sl_a.append(slice(1, lab.shape[d]))
-                sl_b.append(slice(0, lab.shape[d] - 1))
-            else:
-                sl_a.append(slice(None))
-                sl_b.append(slice(None))
-        return lab[tuple(sl_a)].reshape(-1), lab[tuple(sl_b)].reshape(-1)
-
-    acc = jnp.zeros((keyspace,), jnp.int32)
-    for off in offsets:
-        a, b = shifted_views(off)
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        key = jnp.where(a != b, lo * n + hi, keyspace)
-        v = key.shape[0]
-        n_chunks = -(-v // chunk)
-        pad = n_chunks * chunk - v
-        key = jnp.concatenate([key, jnp.full((pad,), keyspace, jnp.int32)])
-        key = key.reshape(n_chunks, chunk)
-
-        def body(carry, k):
-            t = jax.ops.segment_sum(
-                jnp.ones((chunk,), jnp.int32), k, num_segments=keyspace + 1
-            )
-            return carry + t[:keyspace], None
-
-        acc, _ = jax.lax.scan(body, acc, key)
-
-    nz = acc > 0
-    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
-    n_pairs = pos[-1] + 1
-    tgt = jnp.where(nz, pos, max_pairs)
-    keys = jnp.arange(keyspace, dtype=jnp.int32)
-    pair_lo = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys // n, mode="drop")
-    pair_hi = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys % n, mode="drop")
-    counts = jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(acc, mode="drop")
-    return pair_lo, pair_hi, counts, n_pairs
+    k1, k2 = pair_key_streams(lab, n_labels, offsets, (0,) * len(offsets))
+    f1, f2, ft, n_runs, chunk_ovf = chunked_key_reduce(
+        k1, k2, chunk, max_pairs, max_pairs
+    )
+    pair_lo, pair_hi, counts, n_pairs = compact_runs_to_coo(
+        f1, f2, ft, max_pairs, 1
+    )
+    overflowed = chunk_ovf | (n_runs > max_pairs)
+    n_pairs = jnp.where(
+        overflowed, jnp.maximum(n_pairs, 2 * max_pairs), n_pairs
+    )
+    return pair_lo, pair_hi, counts[:, 0], n_pairs
 
 
 @partial(jax.jit, static_argnames=("n_labels", "max_pairs", "chunk"))
@@ -145,74 +226,26 @@ def pair_sweep(dense: jax.Array, n_labels: int, max_pairs: int, chunk: int = 1 <
       pair_hi  : int32 [max_pairs]      larger segment id
       counts   : int32 [max_pairs, D]   face counts per axis (slots >= n_pairs
                                         are zero)
-      n_pairs  : int32 []               number of distinct adjacent pairs
+      n_pairs  : int32 []               number of distinct adjacent pairs;
+                                        values > max_pairs signal a rerun
+                                        with at least that buffer size
       margin   : bool  [N]              label present on an array boundary face
     """
     ndim = dense.ndim
     n = n_labels
-    keyspace = n * n
-    if keyspace + 1 > _INT32_MAX:
-        raise ValueError(
-            f"n_labels={n} exceeds the dense N² pair keyspace; "
-            "hash-table pair path not yet implemented"
-        )
     lab = dense.astype(jnp.int32)
-
-    def axis_counts(d):
-        size = lab.shape[d]
-        a = jax.lax.slice_in_dim(lab, 0, size - 1, axis=d).reshape(-1)
-        b = jax.lax.slice_in_dim(lab, 1, size, axis=d).reshape(-1)
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        key = jnp.where(a != b, lo * n + hi, keyspace)
-        v = key.shape[0]
-        n_chunks = -(-v // chunk)
-        pad = n_chunks * chunk - v
-        key = jnp.concatenate([key, jnp.full((pad,), keyspace, jnp.int32)])
-        key = key.reshape(n_chunks, chunk)
-
-        def body(acc, k):
-            t = jax.ops.segment_sum(
-                jnp.ones((chunk,), jnp.int32), k, num_segments=keyspace + 1
-            )
-            return acc + t[:keyspace], None
-
-        acc0 = jnp.zeros((keyspace,), jnp.int32)
-        acc, _ = jax.lax.scan(body, acc0, key)
-        return acc
-
-    per_axis = [axis_counts(d) for d in range(ndim)]
-    tot = per_axis[0]
-    for c in per_axis[1:]:
-        tot = tot + c
-
-    nz = tot > 0
-    pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
-    n_pairs = pos[-1] + 1 if keyspace > 0 else jnp.int32(0)
-    tgt = jnp.where(nz, pos, max_pairs)
-    keys = jnp.arange(keyspace, dtype=jnp.int32)
-    pair_lo = (
-        jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys // n, mode="drop")
+    axes_offs = tuple(
+        tuple(1 if d == a else 0 for d in range(ndim)) for a in range(ndim)
     )
-    pair_hi = (
-        jnp.zeros((max_pairs,), jnp.int32).at[tgt].set(keys % n, mode="drop")
+    k1, k2 = pair_key_streams(lab, n, axes_offs, tuple(range(ndim)))
+    f1, f2, ft, n_runs, chunk_ovf = chunked_key_reduce(
+        k1, k2, chunk, 3 * max_pairs, 3 * max_pairs
     )
-    counts = (
-        jnp.zeros((max_pairs, ndim), jnp.int32)
-        .at[tgt]
-        .set(jnp.stack(per_axis, axis=1), mode="drop")
+    pair_lo, pair_hi, counts, n_pairs = compact_runs_to_coo(
+        f1, f2, ft, max_pairs, ndim
     )
-
-    # margin presence: labels on any boundary hyperplane
-    planes = []
-    for d in range(ndim):
-        planes.append(jax.lax.index_in_dim(lab, 0, axis=d).reshape(-1))
-        planes.append(jax.lax.index_in_dim(lab, lab.shape[d] - 1, axis=d).reshape(-1))
-    boundary = jnp.concatenate(planes)
-    margin = (
-        jax.ops.segment_max(
-            jnp.ones_like(boundary), boundary, num_segments=n + 1
-        )[:n]
-        > 0
+    overflowed = chunk_ovf | (n_runs > 3 * max_pairs) | (n_pairs > max_pairs)
+    n_pairs = jnp.where(
+        overflowed, jnp.maximum(n_pairs, 2 * max_pairs), n_pairs
     )
-    return pair_lo, pair_hi, counts, n_pairs, margin
+    return pair_lo, pair_hi, counts, n_pairs, margin_presence(lab, n)
