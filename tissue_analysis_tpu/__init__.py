@@ -49,8 +49,23 @@ from tissue_analysis_tpu.analysis import (  # noqa: F401
 from tissue_analysis_tpu.graph import (  # noqa: F401
     PropertyGraph,
     TemporalPropertyGraph,
+    dividing_cells,
+    division_asymmetry,
+    division_events,
+    division_rate,
+    exist_all_relative_at_rank,
+    exist_relative_at_rank,
     graph_from_image,
     graph_from_table,
+    lineage_vertices,
+    lineage_volumes,
+    nb_descendants,
+    per_lineage_aggregate,
+    relative_temporal_change,
+    sibling_cells,
+    temporal_change,
+    temporal_rate,
+    time_point_property,
 )
 from tissue_analysis_tpu.series import (  # noqa: F401
     analyze_series,
