@@ -151,3 +151,22 @@ def test_misc_utilities(tmp_path):
 
     rm = remove_cells(img, [2, 9], background=1)
     assert labels_in_image(rm) == [1, 3]
+
+
+def test_vectorial_inr_roundtrip(tmp_path):
+    """VDIM>1 multichannel .inr round-trip (trailing channel axis)."""
+    import numpy as np
+
+    from tissue_analysis_tpu.core.spatial_image import imread, imsave, SpatialImage
+
+    rng = np.random.default_rng(0)
+    img = SpatialImage(
+        rng.integers(0, 4000, size=(5, 6, 7, 3)).astype(np.uint16),
+        voxelsize=(2.0, 0.5, 0.5, 1.0),
+    )
+    path = str(tmp_path / "vec.inr.gz")
+    imsave(path, img)
+    back = imread(path)
+    assert back.shape == (5, 6, 7, 3)
+    assert back.voxelsize == (2.0, 0.5, 0.5, 1.0)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(img))

@@ -100,17 +100,23 @@ def _inr_dtype(type_str: str, pixsize_bits: int) -> np.dtype:
 
 
 def write_inrimage(path: str, image: np.ndarray) -> None:
-    """Write an array (2D/3D, optional trailing vector dim unsupported) as .inr."""
+    """Write an array as .inr: 2D ``[Y,X]``, 3D ``[Z,Y,X]``, or vectorial
+    4D ``[Z,Y,X,V]`` (VDIM=V, components interlaced per voxel — the
+    inrimage convention for multichannel confocal stacks)."""
     img = np.asarray(image)
     voxelsize = getattr(image, "voxelsize", (_DEFAULT_VOXELSIZE,) * img.ndim)
+    vdim = 1
     if img.ndim == 2:
         zdim, (ydim, xdim) = 1, img.shape
-        vz, (vy, vx) = 1.0, voxelsize
+        vz, (vy, vx) = 1.0, voxelsize[:2]
     elif img.ndim == 3:
         zdim, ydim, xdim = img.shape
-        vz, vy, vx = voxelsize
+        vz, vy, vx = voxelsize[:3]
+    elif img.ndim == 4:
+        zdim, ydim, xdim, vdim = img.shape
+        vz, vy, vx = voxelsize[:3]
     else:
-        raise ValueError(f"inrimage supports 2D/3D arrays, got ndim={img.ndim}")
+        raise ValueError(f"inrimage supports 2D/3D/4D arrays, got ndim={img.ndim}")
     if img.dtype not in _NP_TO_INR:
         raise ValueError(f"unsupported dtype for inrimage: {img.dtype}")
     type_str, bits = _NP_TO_INR[img.dtype]
@@ -119,7 +125,7 @@ def write_inrimage(path: str, image: np.ndarray) -> None:
         f"XDIM={xdim}\n"
         f"YDIM={ydim}\n"
         f"ZDIM={zdim}\n"
-        f"VDIM=1\n"
+        f"VDIM={vdim}\n"
         f"TYPE={type_str}\n"
         f"PIXSIZE={bits} bits\n"
         f"SCALE=2**0\n"
@@ -152,14 +158,23 @@ def read_inrimage(path: str) -> SpatialImage:
             fields[k.strip()] = v.strip()
     xdim, ydim, zdim = (int(fields[k]) for k in ("XDIM", "YDIM", "ZDIM"))
     vdim = int(fields.get("VDIM", 1))
-    if vdim != 1:
-        raise ValueError("vectorial inrimage (VDIM>1) not supported")
     dtype = _inr_dtype(fields["TYPE"], int(fields["PIXSIZE"].split()[0]))
-    count = xdim * ydim * zdim
+    count = xdim * ydim * zdim * vdim
     arr = np.frombuffer(raw, dtype=dtype, count=count, offset=data_start)
     vx = float(fields.get("VX", _DEFAULT_VOXELSIZE))
     vy = float(fields.get("VY", _DEFAULT_VOXELSIZE))
     vz = float(fields.get("VZ", _DEFAULT_VOXELSIZE))
+    if vdim > 1:
+        # vectorial image: components are interlaced per voxel — read into
+        # a trailing channel axis (unit "voxelsize" for the channel axis)
+        if zdim == 1:
+            return SpatialImage(
+                arr.reshape(ydim, xdim, vdim).copy(), voxelsize=(vy, vx, 1.0)
+            )
+        return SpatialImage(
+            arr.reshape(zdim, ydim, xdim, vdim).copy(),
+            voxelsize=(vz, vy, vx, 1.0),
+        )
     if zdim == 1:
         return SpatialImage(arr.reshape(ydim, xdim).copy(), voxelsize=(vy, vx))
     return SpatialImage(arr.reshape(zdim, ydim, xdim).copy(), voxelsize=(vz, vy, vx))

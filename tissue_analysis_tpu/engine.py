@@ -133,7 +133,16 @@ def collect_stack_pallas(handle) -> FeatureTable:
             out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
             continue
         if cfg_key is not None:
-            _GOOD_CFG[cfg_key] = cfg
+            good = cfg
+            if cfg.max_pairs == 0 and n_runs < 2 * cfg.derived_max_pairs(n_sweep):
+                # tighten the entry buffer for later frames/reps: the
+                # derived default is ~3.5x the real run count, and the
+                # buffer size is readback payload (rerun-larger reopens it
+                # if a denser frame overflows)
+                good = dataclasses.replace(
+                    cfg, max_pairs=-(-n_runs * 2 // 5) + 64
+                )
+            _GOOD_CFG[cfg_key] = good
         with timing.stage("readback + host assemble"):
             moments = pallas_block.assemble_moments_pallas(
                 np.asarray(table)[:n], np.asarray(gmin)[:n], np.asarray(gmax)[:n]

@@ -39,6 +39,26 @@ DEFAULT_PROPERTIES = (
 )
 
 
+def _bulk_topology(labels: Sequence[int], edge_pairs) -> PropertyGraph:
+    """Topology from explicit (smaller label, larger label) edge pairs.
+
+    Same graph as :func:`generate_graph_topology` (vertices numbered in
+    label order, edges in ascending (l, nb) order) built without the
+    per-label adjacency dict.
+    """
+    graph = PropertyGraph()
+    label2vertex = {}
+    for l in labels:
+        label2vertex[l] = graph.add_vertex()
+    for a, b in sorted(set(edge_pairs)):
+        graph.add_edge(label2vertex[a], label2vertex[b])
+    graph.add_graph_property("label2vertex", label2vertex)
+    graph.add_graph_property(
+        "vertex2label", {v: k for k, v in label2vertex.items()}
+    )
+    return graph
+
+
 def generate_graph_topology(labels: Sequence[int], neighborhood) -> PropertyGraph:
     """Topology only: one vertex per label, one edge per unordered neighbor
     pair (``:: generate_graph_topology`` [M])."""
@@ -126,8 +146,20 @@ def _graph_from_table_impl(
     else:
         labels = [int(l) for l in labels if int(l) not in ignored]
 
-    adjacency = table.adjacency(min_contact_area=min_contact_area, real=True)
-    graph = generate_graph_topology(labels, adjacency)
+    # topology straight from the COO pair arrays (vectorized — the
+    # per-label adjacency dict would cost a host sort + python loops)
+    la = table.ids[table.pair_lo]
+    lb = table.ids[table.pair_hi]
+    keep = np.ones(la.shape[0], dtype=bool)
+    if min_contact_area is not None:
+        keep &= table.wall_areas() >= min_contact_area
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    keep &= np.isin(la, lab_arr) & np.isin(lb, lab_arr)
+    edge_pairs = [
+        (int(a), int(b)) if a < b else (int(b), int(a))
+        for a, b in zip(la[keep], lb[keep])
+    ]
+    graph = _bulk_topology(labels, edge_pairs)
     label2vertex = graph.graph_property("label2vertex")
 
     real = default_real_property
@@ -182,18 +214,21 @@ def _graph_from_table_impl(
             {label2vertex[l]: float(epi[seg[l]]) for l in labels if l in l1},
         )
     if "wall_surface" in props:
-        areas = table.pair_area_map() if real else {
-            tuple(sorted((int(table.ids[a]), int(table.ids[b])))): int(c)
-            for a, b, c in zip(
-                table.pair_lo, table.pair_hi, table.wall_voxel_face_totals()
-            )
-        }
+        vals = (
+            table.wall_areas()
+            if real
+            else table.wall_voxel_face_totals()
+        )
+        areas = {}
+        for a, b, v in zip(la[keep], lb[keep], vals[keep]):
+            key = (int(a), int(b)) if a < b else (int(b), int(a))
+            areas[key] = areas.get(key, 0) + (float(v) if real else int(v))
         wall_prop = graph.add_edge_property("wall_surface")
         v2l = graph.graph_property("vertex2label")
         for eid in graph.edges():
             va, vb = graph.edge_vertices(eid)
-            la, lb = v2l[va], v2l[vb]
-            key = (la, lb) if la < lb else (lb, la)
+            lav, lbv = v2l[va], v2l[vb]
+            key = (lav, lbv) if lav < lbv else (lbv, lav)
             if key in areas:
                 wall_prop[eid] = areas[key]
 

@@ -239,8 +239,27 @@ def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
     top, _idx = jax.lax.top_k(packed, kp)  # [Bm, kp]
     count = top // (L * L)
     lk = top % (L * L)
-    ga = jnp.take_along_axis(row_ids, lk // L, axis=1)  # [Bm, kp]
-    gb = jnp.take_along_axis(col_ids, lk % L, axis=1)
+    if n < (1 << 24):
+        # id lookup as an exact one-hot f32 matvec — generic gathers cost
+        # ~20 ms/axis on TPU at 512³; ids < 2^24 are f32-exact and the pad
+        # sentinel IMAX (not representable) is mapped to n first (pairs
+        # with an id of n are dropped by the hi < n filter anyway)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        ids_r = jnp.where(row_ids == _IMAX, n, row_ids).astype(jnp.float32)
+        ids_c = jnp.where(col_ids == _IMAX, n, col_ids).astype(jnp.float32)
+
+        def select(sel_idx, idsf):
+            sel = (sel_idx[..., None] == lane).astype(jnp.float32)  # [Bm,kp,L]
+            return jax.lax.dot_general(
+                sel, idsf, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        ga = select(lk // L, ids_r)
+        gb = select(lk % L, ids_c)
+    else:
+        ga = jnp.take_along_axis(row_ids, lk // L, axis=1)  # [Bm, kp]
+        gb = jnp.take_along_axis(col_ids, lk % L, axis=1)
     lo = jnp.minimum(ga, gb)
     hi = jnp.maximum(ga, gb)
     valid = (count > 0) & (lo != hi) & (hi < n)

@@ -14,14 +14,14 @@ exactly once:
        weight table (parts < 2⁷ are bf16-exact; f32 sums < 2²⁴ ⇒ exact)
     4. bbox supports — lane-reduce + tiny selector-matrix dots (no reshapes
        across the lane boundary)
-    5. wall-pair counts — roll+mask one-hot outer products per axis
-       ([L, L] MXU dots; in-block faces only, seams handled outside)
+    5. wall-pair counts — one-hot outer products per axis against the
+       GLOBALLY shifted (+1 voxel, label-n fill) neighbor arrays, so the
+       [L, L] MXU dots count cross-block faces too — no seam pass exists
 
 Downstream (pure XLA, tiny): exact global-coordinate reconstruction from
 local moments + block offsets with overflow-proof int32 splitting, then the
 same segment combine / top_k pair compaction / sort-reduce as the blocked
-engine, plus `ops.blocked.seam_pair_entries` for the block seams. Outputs
-are bit-identical to the other engines (enforced by tests).
+engine. Outputs are bit-identical to the other engines (enforced by tests).
 
 Static bounds (checked): offsets·Σc_local and C·(oi·oj) pieces must fit
 int32 — holds for stacks up to ~1024³ at the default block; larger falls
@@ -44,13 +44,12 @@ from tissue_analysis_tpu.ops import blocked
 from tissue_analysis_tpu.ops.blocked import (
     _IMAX,
     _SPLIT,
-    _blockify,
+    _blockify,  # noqa: F401 (re-exported for tests)
     _compact_pair_mats,
     _grid,
     _group_pad,
     _pad_to_blocks,
     _sorted_pair_reduce,
-    seam_pair_entries,
 )
 
 __all__ = ["PallasConfig", "pallas_sweep", "assemble_moments_pallas"]
@@ -136,44 +135,88 @@ def _weight_table(block) -> np.ndarray:
     return w.astype(jnp.bfloat16)
 
 
-def _kernel_factory(block, L):
+def _packed_layout(L):
+    """Column layout of the kernel's single packed output [L, OUTW].
+
+    One WIDE aligned output instead of seven narrow ones: narrow per-step
+    DMAs ([L,1]/[L,20]/[L,3] blocks) cost ~80 ms of padded partial-tile
+    writes at 512³; a single lane-aligned [L, OUTW] tile is free.
+    Columns: ids 1 | moments 2F | bbmin 3 | bbmax 3 | pz L | py L | px L |
+    ovf 1, padded to a 128-lane multiple.
+    """
+    F2 = 2 * _N_FEATS
+    cols = {}
+    c = 0
+    for name, width in (
+        ("ids", 1), ("mom", F2), ("bbmin", 3), ("bbmax", 3),
+        ("pz", L), ("py", L), ("px", L), ("ovf", 1),
+    ):
+        cols[name] = (c, c + width)
+        c += width
+    outw = -(-c // 128) * 128
+    return cols, outw
+
+
+def _kernel_factory(block, L, n):
     bz, by, bx = block
     K = bz * by * bx
+    cols, outw = _packed_layout(L)
+    F2 = 2 * _N_FEATS
 
-    def kernel(vals_ref, v8_ref, vrz_ref, vry_ref, vrx_ref, w_ref,
-               ids_ref, mom_ref, bbmin_ref, bbmax_ref,
-               pz_ref, py_ref, px_ref, ovf_ref):
-        # Everything is 2D [·, K] — no layout-changing reshapes in-kernel
-        # (Mosaic rejects shape casts that cross the lane boundary). Inputs
-        # may arrive as uint16 (halves HBM for big stacks); cast per block.
-        v = vals_ref[0].astype(jnp.int32)  # [1, K]
-        v8 = v8_ref[0].astype(jnp.int32)  # [8, K/8] — full-sublane layout
+    def kernel(v8_ref, vrz_ref, vry_ref, vrx_ref, ex_ref, w_ref, out_ref):
+        # Everything is 2D — no layout-changing reshapes in-kernel (Mosaic
+        # rejects shape casts that cross the lane boundary). All inputs come
+        # in the [8, K/8] full-sublane layout ([1, K] runs the VPU at 1/8
+        # occupancy). The three neighbor arrays are GLOBAL +1-voxel shifts
+        # with label-n fill (not in-block rolls), so the pair dots count
+        # cross-block faces too and no separate seam pass exists; pairs
+        # whose neighbor label is outside the dictionary (only the fill /
+        # pad label n, see extras below) simply hit a zero one-hot column,
+        # which is exactly the drop the compaction's hi < n filter would do.
+        # Inputs may arrive as uint16 (halves HBM for big stacks).
+        v8 = v8_ref[0].astype(jnp.int32)  # [8, K/8]
 
-        # ---- 1. dictionary: iterative masked min over the [8, K/8] view
-        # (the [1, K] view would run the VPU at 1/8 occupancy); ids built
-        # [L, 1] by sublane-iota select. STATICALLY UNROLLED: a fori_loop
-        # here carries i1 masks whose Mosaic layouts disagree between loop
-        # entry and body and fail to compile.
+        # ---- 1. dictionary: iterative masked min over the block PLUS the
+        # compact ``extras`` rows (the neighbor arrays' boundary planes,
+        # pre-packed in XLA — a neighbor label absent from the block itself
+        # can only live there, and it must be in the dictionary or its face
+        # pair would silently vanish from the one-hot dot). Labels >= n
+        # (fill/pad) arrive pre-masked to IMAX and never take a slot. ids
+        # built [L, 1] by sublane-iota select. STATICALLY UNROLLED: a
+        # fori_loop here carries i1 masks whose Mosaic layouts disagree
+        # between loop entry and body and fail to compile.
+        v_all = jnp.concatenate([v8, ex_ref[0]], axis=0)  # [8 + E8, K/8]
         sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-        mask = v8 == v8
+        mask = (v_all == v_all) & (v_all < n)
         ids = jnp.full((L, 1), _IMAX, jnp.int32)
         for l in range(L):
-            m = jnp.min(jnp.where(mask, v8, _IMAX))
+            m = jnp.min(jnp.where(mask, v_all, _IMAX))
             ids = jnp.where(sub_l == l, m, ids)
-            mask = mask & (v8 != m)
-        ids_ref[0] = ids
-        ovf_ref[0] = jnp.any(mask).astype(jnp.int32).reshape(1, 1)
+            mask = mask & (v_all != m)
+        ovf = jnp.broadcast_to(
+            jnp.any(mask).astype(jnp.int32).reshape(1, 1), (L, 1)
+        )
 
-        # ---- 2. one-hot [L, K] bf16: one broadcast compare ----------------
-        oh = (v == ids).astype(jnp.bfloat16)  # [1,K] vs [L,1] -> [L,K]
+        def onehot(u8):
+            # [8, K/8] labels -> [L, K] bf16 one-hot at FULL sublane
+            # occupancy: compare one sublane row at a time ([1, K/8] vs
+            # [L, 1] -> [L, K/8]) and concatenate along lanes — row s holds
+            # flat K-indices [s·K/8, (s+1)·K/8), so the concat reproduces
+            # flat K order exactly.
+            parts = [
+                (u8[s:s + 1, :] == ids).astype(jnp.bfloat16) for s in range(8)
+            ]
+            return jnp.concatenate(parts, axis=1)  # [L, K]
+
+        # ---- 2. one-hot [L, K] bf16 ---------------------------------------
+        oh = onehot(v8)
 
         # ---- 3. moments + bbox supports: ONE MXU dot ----------------------
         mom = jax.lax.dot_general(
             oh, w_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [L, 2F + bz + by + bx], exact integers in f32
-        F2 = 2 * _N_FEATS
-        mom_ref[0] = mom[:, :F2].astype(jnp.int32)
+        momi = mom[:, :F2].astype(jnp.int32)
 
         mins, maxs = [], []
         col = F2
@@ -184,110 +227,147 @@ def _kernel_factory(block, L):
             ii = jax.lax.broadcasted_iota(jnp.int32, (L, extent), 1)
             mins.append(jnp.min(jnp.where(present, ii, _IMAX), axis=1))
             maxs.append(jnp.max(jnp.where(present, ii, -1), axis=1))
-        bbmin_ref[0] = jnp.stack(mins, axis=1)
-        bbmax_ref[0] = jnp.stack(maxs, axis=1)
+        bbmin = jnp.stack(mins, axis=1)
+        bbmax = jnp.stack(maxs, axis=1)
 
-        # ---- 4. pair matmuls: shifted-neighbor one-hots (shifts done in
-        # XLA — Mosaic has no wide-vector rotate) + modular-iota masks
-        k_i = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        x_i = k_i % bx
-        y_i = (k_i // bx) % by
-        z_i = k_i // (bx * by)
-
-        def face_dot(amask, vr):
-            a = jnp.where(amask, oh, 0)
-            b = (vr.astype(jnp.int32) == ids).astype(jnp.bfloat16)  # [L, K]
+        # ---- 4. pair matmuls against the globally shifted neighbors ------
+        def face_dot(vr8):
+            b = onehot(vr8[0].astype(jnp.int32))  # [L, K]
             return jax.lax.dot_general(
-                a, b, (((1,), (1,)), ((), ())),
+                oh, b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
 
-        pz_ref[0] = face_dot(z_i < bz - 1, vrz_ref[0])
-        py_ref[0] = face_dot(y_i < by - 1, vry_ref[0])
-        px_ref[0] = face_dot(x_i < bx - 1, vrx_ref[0])
+        pieces = [ids, momi, bbmin, bbmax,
+                  face_dot(vrz_ref), face_dot(vry_ref), face_dot(vrx_ref),
+                  ovf]
+        used = 8 + F2 + 3 * L
+        if outw > used:
+            pieces.append(jnp.zeros((L, outw - used), jnp.int32))
+        out_ref[0] = jnp.concatenate(pieces, axis=1)
 
     return kernel
 
 
-def _pallas_main_pass(vb_all, w, block, L, n, interpret, group_blocks=8192):
-    """vb_all: [B, bz, by, bx] blockified stack (uint16 or int32).
+def _shift_fill(dense, axis, fill):
+    """Global +1-voxel shift along ``axis`` with ``fill`` at the far face.
 
-    Runs the kernel grid in `lax.map` groups so the three rolled
-    neighbor copies (and their 2× sublane-padding for 16-bit layouts) only
-    materialize per group — the ungrouped version OOMs HBM at 1024³.
+    The true next-voxel neighbor everywhere — including across block
+    boundaries — so the kernel's pair dots need no face masks and no
+    separate seam pass; boundary faces pair with ``fill`` (= the dropped
+    label n) and are filtered by the compaction's hi < n check.
+    """
+    moved = jax.lax.slice_in_dim(dense, 1, dense.shape[axis], axis=axis)
+    pad_shape = list(dense.shape)
+    pad_shape[axis] = 1
+    pad = jnp.full(pad_shape, fill, dense.dtype)
+    return jnp.concatenate([moved, pad], axis=axis)
+
+
+def _pallas_main_pass(dense, w, block, L, n, interpret, group_blocks=8192):
+    """dense: block-padded [Z, Y, X] stack (uint16 or int32).
+
+    Blockifies the stack and its three globally-shifted neighbor copies,
+    packs each block's neighbor-boundary planes into a compact ``extras``
+    array for the joint dictionary, then runs the kernel grid in `lax.map`
+    groups so the per-group working set stays bounded at Gvoxel scale.
     Padding blocks carry the label n (the dropped segment)."""
-    B_total = vb_all.shape[0]
+    bz, by, bx = block
+    K = bz * by * bx
+    K8 = K // 8
+    vb = _blockify(dense, block)
+    nbrs = [
+        _blockify(_shift_fill(dense, ax, jnp.asarray(n, dense.dtype)), block)
+        for ax in range(3)
+    ]
+    B_total = vb.shape[0]
+
+    # extras: the one plane per axis where a shifted array differs from the
+    # block itself — the only place out-of-block labels can appear. An axis
+    # with a single block layer shifts pure fill and is skipped. Fill/pad
+    # labels (>= n) are masked to IMAX so they never take a dictionary slot.
+    planes = []
+    if dense.shape[0] > bz:
+        planes.append(nbrs[0][:, bz - 1, :, :].reshape(B_total, by * bx))
+    if dense.shape[1] > by:
+        planes.append(nbrs[1][:, :, by - 1, :].reshape(B_total, bz * bx))
+    if dense.shape[2] > bx:
+        planes.append(nbrs[2][:, :, :, bx - 1].reshape(B_total, bz * by))
+    if planes:
+        ex = jnp.concatenate(planes, axis=1).astype(jnp.int32)
+        ex = jnp.where(ex >= n, _IMAX, ex)
+    else:
+        ex = jnp.full((B_total, 1), _IMAX, jnp.int32)
+    e8 = -(-ex.shape[1] // K8)
+    pad = e8 * K8 - ex.shape[1]
+    if pad:
+        ex = jnp.pad(ex, ((0, 0), (0, pad)), constant_values=_IMAX)
+    ex = ex.reshape(B_total, e8, K8)
+
     group = min(group_blocks, B_total)
     if B_total <= group:
-        return _pallas_group(vb_all, w, block, L, interpret)
-    vb_groups = _group_pad(vb_all, group, n)
+        return _pallas_group(vb, *nbrs, ex, w, block, L, n, interpret)
+    groups = [_group_pad(a, group, n) for a in (vb, *nbrs)]
+    groups.append(_group_pad(ex, group, _IMAX))
 
-    def run_group(vb):
-        return _pallas_group(vb, w, block, L, interpret)
+    def run_group(args):
+        return _pallas_group(*args, w, block, L, n, interpret)
 
-    outs = jax.lax.map(run_group, vb_groups)
+    outs = jax.lax.map(run_group, tuple(groups))
     # stack group outputs back to a flat block axis, drop padding blocks
     flat = [o.reshape((-1,) + o.shape[2:])[:B_total] for o in outs]
     return tuple(flat)
 
 
-def _pallas_group(vb, w, block, L, interpret):
+def _pallas_group(vb, vrz, vry, vrx, ex, w, block, L, n, interpret):
     """One pallas_call over a group of blocks; see `_pallas_main_pass`."""
     B = vb.shape[0]
     bz, by, bx = block
     K = bz * by * bx
-    kernel = _kernel_factory(block, L)
-    F2 = 2 * _N_FEATS
+    kernel = _kernel_factory(block, L, n)
     WCOLS = w.shape[1]
-    vb_flat = vb.reshape(B, 1, K)
-    vb8 = vb.reshape(B, 8, K // 8)
-    vrz = jnp.roll(vb, -1, axis=1).reshape(B, 1, K)
-    vry = jnp.roll(vb, -1, axis=2).reshape(B, 1, K)
-    vrx = jnp.roll(vb, -1, axis=3).reshape(B, 1, K)
+    cols, outw = _packed_layout(L)
+    K8 = K // 8
+    E8 = ex.shape[1]
     # Mosaic constraint: a block's last two dims must be (8,128)-divisible
-    # or EQUAL the array dims — hence rank-3 [B, 1, ·]/[B, L, ·] shapes so
+    # or EQUAL the array dims — hence rank-3 [B, 8, ·]/[B, L, ·] shapes so
     # the per-grid-step "1" never lands in the trailing two positions.
-    out_shapes = (
-        jax.ShapeDtypeStruct((B, L, 1), jnp.int32),     # ids
-        jax.ShapeDtypeStruct((B, L, F2), jnp.int32),    # local moments
-        jax.ShapeDtypeStruct((B, L, 3), jnp.int32),     # bbox min (local)
-        jax.ShapeDtypeStruct((B, L, 3), jnp.int32),     # bbox max (local)
-        jax.ShapeDtypeStruct((B, L, L), jnp.int32),     # pair mats z
-        jax.ShapeDtypeStruct((B, L, L), jnp.int32),     # pair mats y
-        jax.ShapeDtypeStruct((B, L, L), jnp.int32),     # pair mats x
-        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),     # dict overflow
-    )
     mat = lambda i: (i, 0, 0)  # noqa: E731
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B,),
         # larger dictionaries (L = 64 after a dict-overflow retry) need
-        # ~16.01 MB of scoped VMEM — just past the 16 MB default limit;
-        # the v5e has 128 MB, so raise the ceiling for headroom
+        # >16 MB of scoped VMEM (the default limit); the v5e has 128 MB,
+        # so raise the ceiling for headroom
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, K // 8), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E8, K8), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, WCOLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, L, 1), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, F2), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, 3), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, 3), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, L), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, L), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, L), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), mat, memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
+        out_specs=pl.BlockSpec((1, L, outw), mat, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, outw), jnp.int32),
         interpret=interpret,
-    )(vb_flat, vb8, vrz, vry, vrx, w)
-    ids, mom, bbmin, bbmax, pz, py, px, ovf = outs
-    return ids[:, :, 0], mom, bbmin, bbmax, pz, py, px, ovf[:, 0]
+    )(
+        vb.reshape(B, 8, K8),
+        vrz.reshape(B, 8, K8),
+        vry.reshape(B, 8, K8),
+        vrx.reshape(B, 8, K8),
+        ex,
+        w,
+    )
+
+    def sl(name):
+        a, b = cols[name]
+        return out[:, :, a:b]
+
+    return (
+        sl("ids")[:, :, 0], sl("mom"), sl("bbmin"), sl("bbmax"),
+        sl("pz"), sl("py"), sl("px"), sl("ovf")[:, 0, 0] > 0,
+    )
 
 
 def _reconstruct_rows(mom_local, bbmin, bbmax, offs):
@@ -382,13 +462,16 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         elif dense_slab.dtype not in (jnp.uint16, jnp.int32):
             dense_slab = dense_slab.astype(jnp.int32)
         dense = _pad_to_blocks(dense_slab, n, block)
-        vb = _blockify(dense, block)  # [B, bz, by, bx]
         offs = jnp.asarray(offs_np).at[:, 0].add(jnp.asarray(z_off, jnp.int32))
 
+        # the main pass counts cross-block faces via the globally shifted
+        # neighbor arrays — the in-slab pair work is exactly these dots (no
+        # seam pass); the slab's own far faces pair with the fill label n
+        # and drop out, which is what the sharded cross-slab halo expects
         (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = _pallas_main_pass(
-            vb, w, block, L, n, interpret
+            dense, w, block, L, n, interpret
         )
-        dict_overflow = jnp.any(dovf > 0)
+        dict_overflow = jnp.any(dovf)
 
         cols, gmin_l, gmax_l = _reconstruct_rows(mom_local, bbmin, bbmax, offs)
         cols = blocked._split_rows(cols)  # [B, L, 68]
@@ -403,17 +486,6 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
             counts.append(ct)
             tags.append(jnp.full(lo.shape, ax, jnp.int32))
             pair_overflow = pair_overflow | jnp.any(ov)
-
-        slo, shi, sct, stg, dovf_s, povf_s = seam_pair_entries(
-            dense, block, n, cfg.seam_max_labels,
-            cfg.max_pairs_per_seam_tile, tile=cfg.seam_tile,
-        )
-        los += slo
-        his += shi
-        counts += sct
-        tags += stg
-        dict_overflow = dict_overflow | dovf_s
-        pair_overflow = pair_overflow | povf_s
 
         return (
             ids,
