@@ -80,3 +80,27 @@ def test_pallas_oracle_bitmatch():
     exp = oracle.barycenter(real=True)
     for s, l in enumerate(t.ids):
         assert np.array_equal(bary[s], exp[int(l)]), l
+
+
+def test_pallas_dense_labels_past_bf16():
+    """Labels far beyond 256 through every kernel-v2 patch path.
+
+    Regression for the Mosaic bf16 MXU demotion bug: the kernel's x-patch
+    spread matvec ran label VALUES through an f32 dot, which Mosaic lowers
+    as single-pass bf16 — values > 256 rounded, producing sparse wrong
+    x-neighbors and phantom pairs at 512³/2031 labels. The kernel now
+    splits values into two 8-bit parts (bf16-exact under any demotion).
+    This fixture forces >256 distinct labels across x-block boundaries so
+    the patch path carries large values; interpret mode guards the split
+    logic and the TPU bench/oracle flow guards the hardware lowering.
+    """
+    img = voronoi_stack((64, 64, 256), 2500, seed=11)
+    stack = LabeledStack.from_array(np.asarray(img), background=1)
+    assert stack.n_labels > 300  # dense ids past the bf16-exact range
+    a = analyze_stack_pallas(stack)
+    # chunked, not blocked: independent machinery, and no L·L static cap
+    # to trip on a 400-label fixture
+    from tissue_analysis_tpu.engine import analyze_stack_chunked
+    b = analyze_stack_chunked(stack)
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)

@@ -110,7 +110,8 @@ def collect_stack_pallas(handle) -> FeatureTable:
     for _attempt in range(12):
         # ONE batched device→host transfer (round trips cost latency)
         (
-            table, gmin, gmax, k1, k2, total, n_runs, dict_ovf, pair_ovf
+            table, gmin, gmax, k1, k2, total, n_runs, dict_ovf, pair_ovf,
+            pair_nz,
         ) = jax.device_get(out)
         n_runs = int(n_runs)
         retry = None
@@ -121,9 +122,13 @@ def collect_stack_pallas(handle) -> FeatureTable:
                 seam_max_labels=cfg.seam_max_labels * 2,
             )
         elif bool(pair_ovf):
+            kp = cfg.max_pairs_per_block
+            kp = (
+                tuple(k * 4 for k in kp) if isinstance(kp, tuple) else kp * 4
+            )
             retry = dataclasses.replace(
                 cfg,
-                max_pairs_per_block=cfg.max_pairs_per_block * 4,
+                max_pairs_per_block=kp,
                 max_pairs_per_seam_tile=cfg.max_pairs_per_seam_tile * 4,
             )
         elif n_runs > 3 * cfg.derived_max_pairs(n_sweep):
@@ -142,6 +147,19 @@ def collect_stack_pallas(handle) -> FeatureTable:
                 good = dataclasses.replace(
                     cfg, max_pairs=-(-n_runs * 2 // 5) + 64
                 )
+            # tighten the per-block pair buffers to the measured per-axis
+            # p100: the kp buffers set the global pair sort's input size
+            # (B·Σkp entries — the dominant post-kernel stage); 1.25× + 8
+            # headroom, multiple of 8, and the existing pair-overflow retry
+            # reopens them if a denser later frame exceeds a tightened bound
+            kp = good.max_pairs_per_block
+            cur = kp if isinstance(kp, tuple) else (kp,) * 3
+            tight = tuple(
+                min(c, -(-(int(v) * 5 // 4 + 8) // 8) * 8)
+                for c, v in zip(cur, np.asarray(pair_nz).reshape(-1))
+            )
+            if tight != cur:
+                good = dataclasses.replace(good, max_pairs_per_block=tight)
             _GOOD_CFG[cfg_key] = good
         with timing.stage("readback + host assemble"):
             moments = pallas_block.assemble_moments_pallas(

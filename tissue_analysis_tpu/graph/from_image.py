@@ -44,13 +44,20 @@ def _bulk_topology(labels: Sequence[int], edge_pairs) -> PropertyGraph:
 
     Same graph as :func:`generate_graph_topology` (vertices numbered in
     label order, edges in ascending (l, nb) order) built without the
-    per-label adjacency dict.
+    per-label adjacency dict. ``edge_pairs`` may be a [E, 2] ndarray
+    ALREADY sorted ascending and unique (the vectorized COO path), or any
+    iterable of pairs (deduped and sorted here). Edge ids are sequential in
+    that order — callers may rely on eid i == row i.
     """
     graph = PropertyGraph()
     label2vertex = {}
     for l in labels:
         label2vertex[l] = graph.add_vertex()
-    for a, b in sorted(set(edge_pairs)):
+    if isinstance(edge_pairs, np.ndarray):
+        pairs = edge_pairs.tolist()
+    else:
+        pairs = sorted(set(edge_pairs))
+    for a, b in pairs:
         graph.add_edge(label2vertex[a], label2vertex[b])
     graph.add_graph_property("label2vertex", label2vertex)
     graph.add_graph_property(
@@ -155,11 +162,23 @@ def _graph_from_table_impl(
         keep &= table.wall_areas() >= min_contact_area
     lab_arr = np.asarray(labels, dtype=np.int64)
     keep &= np.isin(la, lab_arr) & np.isin(lb, lab_arr)
-    edge_pairs = [
-        (int(a), int(b)) if a < b else (int(b), int(a))
-        for a, b in zip(la[keep], lb[keep])
-    ]
-    graph = _bulk_topology(labels, edge_pairs)
+    # unordered pairs, lexicographically sorted + deduped in numpy (the
+    # python sorted(set(...)) over ~10⁴ tuples costs real milliseconds);
+    # `inv` maps each kept COO entry to its unique-pair row = its edge id
+    amin = np.minimum(la[keep], lb[keep]).astype(np.int64)
+    amax = np.maximum(la[keep], lb[keep]).astype(np.int64)
+    order = np.lexsort((amax, amin))
+    ps, pl = amin[order], amax[order]
+    if ps.shape[0]:
+        new = np.empty(ps.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = (ps[1:] != ps[:-1]) | (pl[1:] != pl[:-1])
+    else:
+        new = np.zeros(0, dtype=bool)
+    uniq = np.stack([ps[new], pl[new]], axis=1)
+    inv = np.empty(ps.shape[0], dtype=np.int64)
+    inv[order] = np.cumsum(new) - 1
+    graph = _bulk_topology(labels, uniq)
     label2vertex = graph.graph_property("label2vertex")
 
     real = default_real_property
@@ -219,18 +238,15 @@ def _graph_from_table_impl(
             if real
             else table.wall_voxel_face_totals()
         )
-        areas = {}
-        for a, b, v in zip(la[keep], lb[keep], vals[keep]):
-            key = (int(a), int(b)) if a < b else (int(b), int(a))
-            areas[key] = areas.get(key, 0) + (float(v) if real else int(v))
+        # accumulate per unique unordered pair (eid i == uniq row i by
+        # _bulk_topology's contract), vectorized
+        sums = np.zeros(uniq.shape[0], dtype=vals.dtype)
+        np.add.at(sums, inv, vals[keep])
         wall_prop = graph.add_edge_property("wall_surface")
-        v2l = graph.graph_property("vertex2label")
-        for eid in graph.edges():
-            va, vb = graph.edge_vertices(eid)
-            lav, lbv = v2l[va], v2l[vb]
-            key = (lav, lbv) if lav < lbv else (lbv, lav)
-            if key in areas:
-                wall_prop[eid] = areas[key]
+        if real:
+            wall_prop.update(enumerate(map(float, sums)))
+        else:
+            wall_prop.update(enumerate(map(int, sums)))
 
     graph.add_graph_property("voxelsize", tuple(table.voxelsize))
     graph.add_graph_property("background", background)

@@ -269,7 +269,7 @@ def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
     return lo.reshape(-1), hi.reshape(-1), count.reshape(-1), overflow
 
 
-def _sorted_pair_reduce(los, his, tags, counts, max_entries):
+def _sorted_pair_reduce(los, his, tags, counts, max_entries, n_labels=None):
     """Merge (lo, hi, axis, count) entries without scatter.
 
     Pair identity is the TWO-key tuple (k1 = lo, k2 = hi·4 + axis) — a
@@ -282,6 +282,13 @@ def _sorted_pair_reduce(los, his, tags, counts, max_entries):
     the previous cummax-of-cumsum boundary lookup broke under wrap; the
     index-gather below is wrap-safe). A second sort brings run boundaries
     to the front; slice max_entries.
+
+    When ``n_labels`` is given and 4n² fits int32 (n ≤ 23,169 — the common
+    case), the two keys pack into ONE int32 key lo·4n + hi·4 + axis with
+    the SAME lexicographic order: the sorts move 2 operands instead of 3
+    (the sort is the dominant post-kernel stage, ~linear in bytes moved —
+    measured: chunked pre-reduction does NOT beat one big sort on TPU).
+    Larger n takes the two-key path — no label ceiling.
     Returns (k1 [max_entries], k2 [max_entries], total [max_entries], n_runs).
     """
     if isinstance(los, (list, tuple)):
@@ -290,8 +297,40 @@ def _sorted_pair_reduce(los, his, tags, counts, max_entries):
         tags = jnp.concatenate(tags)
         counts = jnp.concatenate(counts)
     valid = los < _IMAX
+    if n_labels is not None and 4 * n_labels * n_labels < int(_IMAX):
+        n4 = 4 * n_labels
+        packed = jnp.where(valid, los * n4 + his * 4 + tags, _IMAX)
+        pk, total, n_runs = _sorted_run_reduce_single(packed, counts, max_entries)
+        live = pk < _IMAX
+        k1 = jnp.where(live, pk // n4, _IMAX)
+        k2 = jnp.where(live, pk % n4, _IMAX)
+        return k1, k2, total, n_runs
     k2 = jnp.where(valid, his * 4 + tags, _IMAX)
     return _sorted_pair_reduce_keys(los, k2, counts, max_entries)
+
+
+def _sorted_run_reduce_single(key, counts, max_entries):
+    """Single-int32-key variant of :func:`_sorted_pair_reduce_keys`."""
+    key, counts = jax.lax.sort((key, counts), num_keys=1)
+    m = key.shape[0]
+    is_last = jnp.concatenate([key[1:] != key[:-1], jnp.array([True])])
+    is_last = is_last & (key < _IMAX)
+    cs = jnp.cumsum(counts)  # wrap-tolerant: only differences are used
+    idx = jnp.arange(m, dtype=jnp.int32)
+    prev_last_idx = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jax.lax.cummax(jnp.where(is_last, idx, -1))[:-1]]
+    )
+    prev_cs = jnp.where(
+        prev_last_idx >= 0,
+        jnp.take(cs, jnp.clip(prev_last_idx, 0, m - 1)),
+        0,
+    )
+    total = jnp.where(is_last, cs - prev_cs, 0)
+    n_runs = jnp.sum(is_last.astype(jnp.int32))
+    okey = jnp.where(is_last, key, _IMAX)
+    okey, total = jax.lax.sort((okey, total), num_keys=1)
+    return okey[:max_entries], total[:max_entries], n_runs
 
 
 def _sorted_pair_reduce_keys(k1, k2, counts, max_entries):
@@ -658,7 +697,7 @@ def _build_sweep(shape, n_labels, cfg: BlockConfig):
         ids, cols, cmin, cmax, los, his, counts, tags, dovf, povf = main(dense, 0)
         table, gmin, gmax = _global_moment_combine(ids, cols, cmin, cmax, n)
         k1, k2, total, n_runs = _sorted_pair_reduce(
-            los, his, tags, counts, max_entries
+            los, his, tags, counts, max_entries, n_labels=n
         )
         return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
 

@@ -6,17 +6,27 @@ six pair-matmul slices (~100 GB of HBM traffic at 512³). This kernel keeps
 everything for one block resident in VMEM and reads each voxel from HBM
 exactly once:
 
-  per grid step (one 8×16×128 block, K = 16384 voxels):
-    1. dictionary extraction — L iterations of masked min over the block,
-       dictionary built by iota-select (no dynamic stores)
-    2. one-hot OH [L, S, X] bf16 against the dictionary
-    3. LOCAL integer moments — one MXU dot against a static hi/lo-split
-       weight table (parts < 2⁷ are bf16-exact; f32 sums < 2²⁴ ⇒ exact)
-    4. bbox supports — lane-reduce + tiny selector-matrix dots (no reshapes
-       across the lane boundary)
-    5. wall-pair counts — one-hot outer products per axis against the
-       GLOBALLY shifted (+1 voxel, label-n fill) neighbor arrays, so the
-       [L, L] MXU dots count cross-block faces too — no seam pass exists
+  per grid step (one 8×16×128 block, K = 16384 voxels), kernel-v2
+  (`_kernel_factory_v2`, the default-block path — v1 below is kept for
+  other block shapes and n ≥ 2¹⁶):
+    1. dictionary extraction — L/4 iterations of masked min+max over the
+       even and odd label groups (4 independent reductions per step; the
+       serial chain, not VPU throughput, is the cost), dictionary built by
+       iota-select (no dynamic stores)
+    2. one-hot parts [L, K/8] bf16 per z-plane against the dictionary
+    3. LOCAL integer moments — z-weighted marginals (Σ parts, Σ s·parts,
+       Σ s²·parts — all < 256, bf16-exact) contracted against a narrow
+       static weight/selector table in ONE [3L, K/8]-wide MXU dot
+       (exact f32 sums < 2²⁴); bbox supports ride the same dot
+    4. wall-pair counts — the three +1-voxel neighbor arrays are rebuilt
+       IN-KERNEL (sublane shift for z, lane shift + boundary patches for
+       y/x, patches from a compact 2-row `extras` input holding the three
+       next-block planes), then ONE [L, K]×[3L, K]ᵀ face dot — cross-block
+       faces included, no seam pass, no shifted stack copies in HBM
+
+  v1 (any block shape): same pipeline but the shifted neighbor stacks are
+  materialized by XLA and every block reads four input copies; moments and
+  bbox ride one wide [L, K]×[K, 272] dot
 
 Downstream (pure XLA, tiny): exact global-coordinate reconstruction from
 local moments + block offsets with overflow-proof int32 splitting, then the
@@ -66,7 +76,12 @@ _QSHIFT = 9  # offset-product split in the reconstruction
 class PallasConfig:
     block: Tuple[int, int, int] = (8, 16, 128)
     max_labels_per_block: int = 32  # L (measured p100 = 22 on 512³ stacks)
-    max_pairs_per_block: int = 128  # kp for the XLA compaction stage
+    # kp for the XLA compaction stage: one int, or a per-axis (z, y, x)
+    # tuple — the three face directions have very different pair densities
+    # (a block crosses 8 z-planes but 128 x-columns), and 3·B·kp is the
+    # global pair sort's input size; the engine auto-tightens this per axis
+    # from the measured p100 (`pair_nz`)
+    max_pairs_per_block: object = 128
     max_pairs: int = 0
     seam_tile: Tuple[int, int] = (64, 256)  # bigger tiles ⇒ fewer top_k rows
     seam_max_labels: int = 64  # seam tiles span more cells than blocks
@@ -107,12 +122,14 @@ def _check_static_pallas(shape, n_labels, cfg: PallasConfig) -> None:
 
 
 def _weight_table(block) -> np.ndarray:
-    """Static [K, 2·_N_FEATS + bz + by + bx] bf16 weight/selector table.
+    """Static TRANSPOSED [Wp, K] bf16 weight/selector table
+    (Wp = 2·_N_FEATS + bz + by + bx padded up to a multiple of 16).
 
-    First 2·_N_FEATS columns: lo/hi-split local-coordinate moment weights
-    (parts < 2^_WSHIFT). Remaining columns: coordinate-plane presence
-    selectors (0/1) for the bbox supports — all consumed by ONE MXU dot
-    against the one-hot.
+    First 2·_N_FEATS rows: lo/hi-split local-coordinate moment weights
+    (parts < 2^_WSHIFT). Next rows: coordinate-plane presence selectors
+    (0/1) for the bbox supports. Stored [W, K] (contraction dim LAST, like
+    the neighbor one-hots) so the kernel concatenates it with them and
+    consumes everything in ONE MXU dot; pad rows are zero.
     """
     bz, by, bx = block
     z, y, x = np.meshgrid(
@@ -130,9 +147,12 @@ def _weight_table(block) -> np.ndarray:
     for coord, extent in ((z, bz), (y, by), (x, bx)):
         for c in range(extent):
             cols.append((coord == c).astype(np.int64))
-    w = np.stack(cols, axis=1)
+    w = np.stack(cols, axis=0)  # [W, K]
     assert w.max() < (1 << _WSHIFT)
-    return w.astype(jnp.bfloat16)
+    wp = -(-w.shape[0] // 16) * 16
+    out = np.zeros((wp, w.shape[1]), dtype=np.int64)
+    out[: w.shape[0]] = w
+    return out.astype(jnp.bfloat16)
 
 
 def _packed_layout(L):
@@ -176,25 +196,57 @@ def _kernel_factory(block, L, n):
         # Inputs may arrive as uint16 (halves HBM for big stacks).
         v8 = v8_ref[0].astype(jnp.int32)  # [8, K/8]
 
-        # ---- 1. dictionary: iterative masked min over the block PLUS the
-        # compact ``extras`` rows (the neighbor arrays' boundary planes,
-        # pre-packed in XLA — a neighbor label absent from the block itself
-        # can only live there, and it must be in the dictionary or its face
-        # pair would silently vanish from the one-hot dot). Labels >= n
-        # (fill/pad) arrive pre-masked to IMAX and never take a slot. ids
-        # built [L, 1] by sublane-iota select. STATICALLY UNROLLED: a
+        # ---- 1. dictionary: iterative masked min/max extraction over the
+        # block PLUS the compact ``extras`` rows (the neighbor arrays'
+        # boundary planes, pre-packed in XLA — a neighbor label absent from
+        # the block itself can only live there, and it must be in the
+        # dictionary or its face pair would silently vanish from the
+        # one-hot dot). Labels >= n (fill/pad) arrive pre-masked to IMAX
+        # and never take a slot. When ≤1 label remains in a group, max ==
+        # min (or the group is empty: min = IMAX, max = -1) and the max
+        # slot stays IMAX via the x > m guard — no duplicate dictionary
+        # entries, which would double-count in the one-hot dots. Slot ORDER
+        # is not ascending, which is fine: every consumer (one-hot compare,
+        # pair compaction, global segment-combine, final pair sort) is
+        # slot-order agnostic, so the output tables stay bit-identical.
+        # ids built [L, 1] by sublane-iota select. STATICALLY UNROLLED: a
         # fori_loop here carries i1 masks whose Mosaic layouts disagree
         # between loop entry and body and fail to compile.
         v_all = jnp.concatenate([v8, ex_ref[0]], axis=0)  # [8 + E8, K/8]
         sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
         mask = (v_all == v_all) & (v_all < n)
         ids = jnp.full((L, 1), _IMAX, jnp.int32)
-        for l in range(L):
-            m = jnp.min(jnp.where(mask, v_all, _IMAX))
-            ids = jnp.where(sub_l == l, m, ids)
-            mask = mask & (v_all != m)
+        # parity partition: even labels fill slots [0, L/2), odd labels
+        # [L/2, L) — the four reductions per step (min+max of each parity
+        # group) are mutually independent, so the serial chain is L/4
+        # dependent steps (measured ~3 ms/step at 512³: the chain, not the
+        # VPU throughput, is the kernel's cost). Overflow now fires when
+        # ONE parity group exceeds L/2 distinct labels — slightly earlier
+        # than the plain ">L distinct" rule for skewed parities (dense ids
+        # are parity-balanced in practice); the host retry doubles L either
+        # way. Slot order is irrelevant to every consumer (see below).
+        assert L % 4 == 0, "dictionary size must be 4-divisible (parity fill)"
+        half = L // 2
+        mask_e = mask & ((v_all & 1) == 0)
+        mask_o = mask & ((v_all & 1) == 1)
+        for l in range(L // 4):
+            m_e = jnp.min(jnp.where(mask_e, v_all, _IMAX))
+            x_e = jnp.max(jnp.where(mask_e, v_all, -1))
+            m_o = jnp.min(jnp.where(mask_o, v_all, _IMAX))
+            x_o = jnp.max(jnp.where(mask_o, v_all, -1))
+            ids = jnp.where(sub_l == l, m_e, ids)
+            ids = jnp.where(
+                sub_l == (half - 1 - l), jnp.where(x_e > m_e, x_e, _IMAX), ids
+            )
+            ids = jnp.where(sub_l == (half + l), m_o, ids)
+            ids = jnp.where(
+                sub_l == (L - 1 - l), jnp.where(x_o > m_o, x_o, _IMAX), ids
+            )
+            mask_e = mask_e & (v_all != m_e) & (v_all != x_e)
+            mask_o = mask_o & (v_all != m_o) & (v_all != x_o)
         ovf = jnp.broadcast_to(
-            jnp.any(mask).astype(jnp.int32).reshape(1, 1), (L, 1)
+            (jnp.any(mask_e) | jnp.any(mask_o)).astype(jnp.int32).reshape(1, 1),
+            (L, 1),
         )
 
         def onehot(u8):
@@ -211,17 +263,29 @@ def _kernel_factory(block, L, n):
         # ---- 2. one-hot [L, K] bf16 ---------------------------------------
         oh = onehot(v8)
 
-        # ---- 3. moments + bbox supports: ONE MXU dot ----------------------
-        mom = jax.lax.dot_general(
-            oh, w_ref[:, :], (((1,), (0,)), ((), ())),
+        # ---- 3+4. moments + bbox supports + pair counts: ONE MXU dot ------
+        # RHS = [weights/selectors ; three neighbor one-hots], all with the
+        # contraction (K) dim last — a single [L, K]×[Wp+3L, K]ᵀ issue
+        # instead of four quarter-empty ones. momf columns are exact
+        # integers in f32 (weight parts < 2^7, sums < 2^24); the trailing
+        # [L, 3L] block IS the packed pz|py|px layout verbatim.
+        wp = w_ref.shape[0]
+        nb = jnp.concatenate(
+            [onehot(vrz_ref[0].astype(jnp.int32)),
+             onehot(vry_ref[0].astype(jnp.int32)),
+             onehot(vrx_ref[0].astype(jnp.int32))], axis=0
+        )  # [3L, K]
+        rhs = jnp.concatenate([w_ref[:, :], nb], axis=0)  # [Wp + 3L, K]
+        allf = jax.lax.dot_general(
+            oh, rhs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [L, 2F + bz + by + bx], exact integers in f32
-        momi = mom[:, :F2].astype(jnp.int32)
+        )  # [L, Wp + 3L]
+        momi = allf[:, :F2].astype(jnp.int32)
 
         mins, maxs = [], []
         col = F2
         for extent in (bz, by, bx):
-            supp = mom[:, col:col + extent]  # [L, extent] voxel counts
+            supp = allf[:, col:col + extent]  # [L, extent] voxel counts
             col += extent
             present = supp > 0
             ii = jax.lax.broadcasted_iota(jnp.int32, (L, extent), 1)
@@ -230,23 +294,348 @@ def _kernel_factory(block, L, n):
         bbmin = jnp.stack(mins, axis=1)
         bbmax = jnp.stack(maxs, axis=1)
 
-        # ---- 4. pair matmuls against the globally shifted neighbors ------
-        def face_dot(vr8):
-            b = onehot(vr8[0].astype(jnp.int32))  # [L, K]
-            return jax.lax.dot_general(
-                oh, b, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
+        pf = allf[:, wp:].astype(jnp.int32)  # [L, 3L] = pz | py | px
+        # zero the same-label diagonals: interior faces (label touching
+        # itself across the +1 shift) are by far the largest entries and
+        # are dropped downstream anyway (lo != hi filter) — zeroing them
+        # here keeps them out of the top_k compaction's kp budget, the
+        # count·L² packing headroom, and the measured pair_nz statistic
+        ii = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 1)
+        pf = jnp.where(jj % L == ii, 0, pf)
 
-        pieces = [ids, momi, bbmin, bbmax,
-                  face_dot(vrz_ref), face_dot(vry_ref), face_dot(vrx_ref),
-                  ovf]
+        pieces = [ids, momi, bbmin, bbmax, pf, ovf]
         used = 8 + F2 + 3 * L
         if outw > used:
             pieces.append(jnp.zeros((L, outw - used), jnp.int32))
         out_ref[0] = jnp.concatenate(pieces, axis=1)
 
     return kernel
+
+
+def _v2_eligible(block, n) -> bool:
+    """kernel-v2 layout preconditions (see `_kernel_factory_v2`).
+
+    n < 2¹⁶ (the uint16 domain): the x-patch spread splits label values
+    into two 8-bit parts so they survive Mosaic's bf16 MXU demotion
+    exactly. Larger label spaces take the v1 path."""
+    return tuple(block) == (8, 16, 128) and n < (1 << 16)
+
+
+def _weight_table_v2(block):
+    """Static tables for kernel-v2's marginal formulation.
+
+    Returns (wv2 [WP, K8] bf16, xsel [by, K8] f32):
+
+    - ``wv2`` rows (consumed by ONE [3L, K8]×[WP, K8]ᵀ dot against the
+      stacked marginals): 8 moment weight rows over lane j = y·bx + x —
+      [1, y, y², x, x²_lo, x²_hi, yx_lo, yx_hi] — then by y-plane selectors
+      and bx x-column selectors for the bbox supports; padded to a sublane
+      multiple. Every weight is an integer ≤ 256 (bf16-exact); used
+      products sum < 2²⁴ so the f32 MXU accumulation is exact.
+    - ``xsel`` spreads the per-(z, y) x-boundary patch values to lanes
+      j ≡ bx-1 (mod bx): xsel[t, j] = (j == t·bx + bx-1).
+    """
+    bz, by, bx = block
+    k8 = by * bx
+    j = np.arange(k8)
+    y = j // bx
+    x = j % bx
+    x2 = x * x
+    yx = y * x
+    rows = [
+        np.ones(k8, np.int64), y, y * y, x,
+        x2 & _WMASK, x2 >> _WSHIFT, yx & _WMASK, yx >> _WSHIFT,
+    ]
+    for c in range(by):
+        rows.append((y == c).astype(np.int64))
+    for c in range(bx):
+        rows.append((x == c).astype(np.int64))
+    w = np.stack(rows, axis=0)
+    assert w.max() <= 256
+    wp = -(-w.shape[0] // 16) * 16
+    out = np.zeros((wp, k8), dtype=np.int64)
+    out[: w.shape[0]] = w
+    # x-patch spread: xv rows are 128-lane groups whose first `by` lanes
+    # hold the next-x plane values for y = 0..by-1 (128-aligned so the
+    # kernel's sublane-concat of the slices has uniform lane offsets);
+    # xsel[t, j] routes lane t to every lane j with j//bx == t (t < by)
+    xsel = ((j[None, :] // bx) == np.arange(128)[:, None]).astype(np.float32)
+    return out.astype(jnp.bfloat16), xsel
+
+
+def _kernel_factory_v2(block, L, n):
+    """Fused kernel, v2: single stack input + compact extras.
+
+    Layout preconditions (`_v2_eligible`): block == (8, 16, 128), so the
+    [8, K/8] sublane rows ARE the z-planes and lane j = y·128 + x — which
+    makes the three +1-voxel neighbor arrays constructible IN-KERNEL
+    (sublane shift / lane roll + boundary patches from the 2-row extras)
+    instead of shipping three full shifted copies of the stack through HBM,
+    and lets the moment/bbox weights ride narrow [·, K/8] dots against
+    z-weighted marginals instead of the K-wide one-hot dot (the big MXU dot
+    shrinks to the three face blocks, 272 → 96 RHS rows). n < 2¹⁶ keeps
+    the 8-bit-split x-patch spread matvec exact under Mosaic's bf16 MXU
+    demotion. Everything else (dictionary, packed output, downstream
+    contract) matches v1 — bit-identical outputs.
+    """
+    bz, by, bx = block
+    K = bz * by * bx
+    K8 = K // 8
+    cols, outw = _packed_layout(L)
+    F2 = 2 * _N_FEATS
+
+    def kernel(v8_ref, ex_ref, wv2_ref, xsel_ref, out_ref):
+        v8 = v8_ref[0].astype(jnp.int32)  # [8, K8] — rows are z-planes
+        ex = ex_ref[0].astype(jnp.int32)  # [2, K8] raw labels, n-filled:
+        # row 0 = next-z plane [by·bx]; row 1 = next-y plane [bz·bx = 1024]
+        # then next-x plane [bz·by = 128] then n-padding
+
+        # ---- 1. dictionary (identical to v1): extras rows ride along so
+        # out-of-block neighbor labels get slots; fill/pad labels are >= n
+        # and the `< n` mask excludes them.
+        v_all = jnp.concatenate([v8, ex], axis=0)  # [10, K8]
+        sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        mask = (v_all == v_all) & (v_all < n)
+        ids = jnp.full((L, 1), _IMAX, jnp.int32)
+        assert L % 4 == 0
+        half = L // 2
+        mask_e = mask & ((v_all & 1) == 0)
+        mask_o = mask & ((v_all & 1) == 1)
+        for l in range(L // 4):
+            m_e = jnp.min(jnp.where(mask_e, v_all, _IMAX))
+            x_e = jnp.max(jnp.where(mask_e, v_all, -1))
+            m_o = jnp.min(jnp.where(mask_o, v_all, _IMAX))
+            x_o = jnp.max(jnp.where(mask_o, v_all, -1))
+            ids = jnp.where(sub_l == l, m_e, ids)
+            ids = jnp.where(
+                sub_l == (half - 1 - l), jnp.where(x_e > m_e, x_e, _IMAX), ids
+            )
+            ids = jnp.where(sub_l == (half + l), m_o, ids)
+            ids = jnp.where(
+                sub_l == (L - 1 - l), jnp.where(x_o > m_o, x_o, _IMAX), ids
+            )
+            mask_e = mask_e & (v_all != m_e) & (v_all != x_e)
+            mask_o = mask_o & (v_all != m_o) & (v_all != x_o)
+        ovf = jnp.broadcast_to(
+            (jnp.any(mask_e) | jnp.any(mask_o)).astype(jnp.int32).reshape(1, 1),
+            (L, 1),
+        )
+
+        def onehot_rows(u):
+            # [R, K8] labels -> list of R [L, K8] bf16 one-hot parts
+            return [
+                (u[s:s + 1, :] == ids).astype(jnp.bfloat16)
+                for s in range(u.shape[0])
+            ]
+
+        # ---- 2. one-hot parts of the block (kept per z-plane) ------------
+        parts = onehot_rows(v8)
+        oh = jnp.concatenate(parts, axis=1)  # [L, K] flat K order
+
+        # ---- 3. moments + bbox via z-weighted marginals ------------------
+        # myx ≤ 8, mz1 ≤ Σs = 28, mz2 ≤ Σs² = 140 — all < 256, bf16-exact.
+        myx = parts[0]
+        mz1 = jnp.zeros_like(parts[0])
+        mz2 = jnp.zeros_like(parts[0])
+        for s in range(1, 8):
+            myx = myx + parts[s]
+            mz1 = mz1 + jnp.bfloat16(s) * parts[s]
+            mz2 = mz2 + jnp.bfloat16(s * s) * parts[s]
+        m3 = jnp.concatenate([myx, mz1, mz2], axis=0)  # [3L, K8]
+        mb = jax.lax.dot_general(
+            m3, wv2_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3L, WP]: rows 0..L-1 from myx, L..2L-1 from mz1, 2L.. from mz2
+        byx = mb[:L].astype(jnp.int32)
+        bz1 = mb[L:2 * L].astype(jnp.int32)
+        bz2 = mb[2 * L:3 * L].astype(jnp.int32)
+
+        def col(t, c):
+            return t[:, c:c + 1]
+
+        count = col(byx, 0)
+        sy, syy = col(byx, 1), col(byx, 2)
+        sx = col(byx, 3)
+        sxx = col(byx, 4) + (col(byx, 5) << _WSHIFT)
+        syx = col(byx, 6) + (col(byx, 7) << _WSHIFT)
+        sz, szy, szx = col(bz1, 0), col(bz1, 1), col(bz1, 3)
+        szz = col(bz2, 0)
+        # feature order (lo, hi) per `_packed_layout` / `_reconstruct_rows`:
+        # 1, z, z², y, y², zy, x, x², zx, yx — hi columns stay 0 (values
+        # are already assembled int32; the reconstruction computes
+        # lo + (hi << 7)). Placed by iota-select — Mosaic cannot
+        # lane-concatenate slices with heterogeneous lane offsets.
+        lane20 = jax.lax.broadcasted_iota(jnp.int32, (L, F2), 1)
+        momi = jnp.zeros((L, F2), jnp.int32)
+        for c, vec in ((0, count), (2, sz), (4, szz), (6, sy), (8, syy),
+                       (10, szy), (12, sx), (14, sxx), (16, szx), (18, syx)):
+            momi = jnp.where(
+                lane20 == c, jnp.broadcast_to(vec, (L, F2)), momi
+            )
+
+        zsup = jnp.concatenate(
+            [jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+             for p in parts],
+            axis=1,
+        )  # [L, bz]
+        ysup = mb[:L, 8:8 + by]
+        xsup = mb[:L, 8 + by:8 + by + bx]
+        mins, maxs = [], []
+        for supp, extent in ((zsup, bz), (ysup, by), (xsup, bx)):
+            present = supp > 0
+            ii = jax.lax.broadcasted_iota(jnp.int32, (L, extent), 1)
+            mins.append(jnp.min(jnp.where(present, ii, _IMAX), axis=1))
+            maxs.append(jnp.max(jnp.where(present, ii, -1), axis=1))
+        bbmin = jnp.stack(mins, axis=1)
+        bbmax = jnp.stack(maxs, axis=1)
+
+        # ---- 4. neighbor arrays built in-kernel --------------------------
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, K8), 1)
+        # z: sublane shift; the patch row is the extras next-z plane
+        vrz = jnp.concatenate([v8[1:], ex[0:1]], axis=0)
+        # y: +1 y = +bx lanes; the lane shift drops the y == by-1 lanes off
+        # the end, and concatenating the next-y patch plane (extras row 1,
+        # [bz, bx] z-major) puts the cross-block neighbors exactly there
+        ypatch = jnp.concatenate(
+            [ex[1:2, s * bx:(s + 1) * bx] for s in range(8)], axis=0
+        )  # [8, bx]
+        vry = jnp.concatenate([v8[:, bx:], ypatch], axis=1)
+        # x: +1 lane; x == bx-1 lanes patch from the next-x plane (extras
+        # row 1, one 128-aligned lane group per z-plane whose first `by`
+        # lanes are the values), spread to lanes j ≡ bx-1 (mod bx) by
+        # one-hot matvecs. The values are split into two 8-bit parts
+        # FIRST: Mosaic lowers f32×f32 MXU dots as single-pass bf16, so
+        # whole label values > 256 would round (observed at 512³/2031
+        # labels: sparse wrong x-neighbors + phantom pairs); parts ≤ 255
+        # are bf16-exact, and each output lane sums exactly one product.
+        xv = jnp.concatenate(
+            [ex[1:2, bz * bx + s * 128: bz * bx + (s + 1) * 128]
+             for s in range(8)],
+            axis=0,
+        )  # [8, 128]
+
+        def spread(vals):
+            return jax.lax.dot_general(
+                vals.astype(jnp.float32), xsel_ref[:, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        xspread = spread(xv & 255) + (spread(xv >> 8) << 8)  # [8, K8]
+        # +1-lane shift via circular roll (shift K8-1 ⇒ out[j] = in[j+1]) —
+        # a lane-concat of the offset-1 slice ([:, 1:]) compiles but
+        # SILENTLY mis-lowers on Mosaic (x-face counts came back wrong at
+        # 512³); the wrapped lane K8-1 has x == bx-1 and is overwritten by
+        # the patch anyway
+        xshift = pltpu.roll(v8, K8 - 1, 1)
+        vrx = jnp.where(lane % bx == bx - 1, xspread, xshift)
+
+        nb = jnp.concatenate(
+            [jnp.concatenate(onehot_rows(v), axis=1)
+             for v in (vrz, vry, vrx)],
+            axis=0,
+        )  # [3L, K]
+        pf = jax.lax.dot_general(
+            oh, nb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [L, 3L] = pz | py | px
+        ii = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 1)
+        pf = jnp.where(jj % L == ii, 0, pf)
+
+        pieces = [ids, momi, bbmin, bbmax, pf, ovf]
+        used = 8 + F2 + 3 * L
+        if outw > used:
+            pieces.append(jnp.zeros((L, outw - used), jnp.int32))
+        out_ref[0] = jnp.concatenate(pieces, axis=1)
+
+    return kernel
+
+
+def _extras_v2(dense, n, block):
+    """[B, 2, K8] extras for kernel-v2: per block, the +1 boundary plane of
+    every axis, raw labels with fill n beyond the (padded) stack.
+
+    Row 0 = the next-z plane ([by·bx] lanes); row 1 = the next-y plane
+    ([bz, bx] z-major), then the next-x plane ([bz, by] z-major), then
+    n-padding. ``dense`` must already be block-padded.
+    """
+    bz, by, bx = block
+    Z, Y, X = dense.shape
+    gz, gy, gx = Z // bz, Y // by, X // bx
+    B = gz * gy * gx
+    K8 = bz * by * bx // 8
+    fill = jnp.full((), n, dense.dtype)
+
+    zp = jnp.concatenate(
+        [dense[bz::bz], jnp.broadcast_to(fill, (1, Y, X))], axis=0
+    )  # [gz, Y, X] — plane below each z-block row
+    zp = (
+        zp.reshape(gz, gy, by, gx, bx)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, by * bx)
+    )
+    yp = jnp.concatenate(
+        [dense[:, by::by], jnp.broadcast_to(fill, (Z, 1, X))], axis=1
+    )  # [Z, gy, X]
+    yp = (
+        yp.reshape(gz, bz, gy, gx, bx)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B, bz * bx)
+    )
+    xp = jnp.concatenate(
+        [dense[:, :, bx::bx], jnp.broadcast_to(fill, (Z, Y, 1))], axis=2
+    )  # [Z, Y, gx]
+    xp = (
+        xp.reshape(gz, bz, gy, by, gx)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(B, bz, by)
+    )
+    # pad each z-row to a 128-lane group (the kernel sublane-concatenates
+    # 128-aligned slices; Mosaic rejects unaligned lane offsets)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 128 - by)), constant_values=n)
+    xp = xp.reshape(B, bz * 128)
+    ex = jnp.concatenate([zp, yp, xp], axis=1)
+    pad = 2 * K8 - ex.shape[1]
+    ex = jnp.pad(ex, ((0, 0), (0, pad)), constant_values=n)
+    return ex.reshape(B, 2, K8)
+
+
+def _pallas_group_v2(vb, ex, wv2, xsel, block, L, n, interpret):
+    """One v2 pallas_call over a group of blocks."""
+    B = vb.shape[0]
+    bz, by, bx = block
+    K = bz * by * bx
+    K8 = K // 8
+    kernel = _kernel_factory_v2(block, L, n)
+    cols, outw = _packed_layout(L)
+    mat = lambda i: (i, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wv2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(xsel.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, outw), mat, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, outw), jnp.int32),
+        interpret=interpret,
+    )(vb.reshape(B, 8, K8), ex, wv2, xsel)
+
+    def sl(name):
+        a, b = cols[name]
+        return out[:, :, a:b]
+
+    return (
+        sl("ids")[:, :, 0], sl("mom"), sl("bbmin"), sl("bbmax"),
+        sl("pz"), sl("py"), sl("px"), sl("ovf")[:, 0, 0] > 0,
+    )
 
 
 def _shift_fill(dense, axis, fill):
@@ -264,17 +653,39 @@ def _shift_fill(dense, axis, fill):
     return jnp.concatenate([moved, pad], axis=axis)
 
 
-def _pallas_main_pass(dense, w, block, L, n, interpret, group_blocks=8192):
+def _pallas_main_pass(dense, block, L, n, interpret, group_blocks=8192):
     """dense: block-padded [Z, Y, X] stack (uint16 or int32).
 
-    Blockifies the stack and its three globally-shifted neighbor copies,
-    packs each block's neighbor-boundary planes into a compact ``extras``
-    array for the joint dictionary, then runs the kernel grid in `lax.map`
-    groups so the per-group working set stays bounded at Gvoxel scale.
-    Padding blocks carry the label n (the dropped segment)."""
+    Dispatches to kernel-v2 (default block — single stack input, in-kernel
+    neighbor construction, marginal moment dots; see `_kernel_factory_v2`)
+    or the v1 path (any block shape: blockifies three globally-shifted
+    neighbor copies alongside the stack). Both run the kernel grid in
+    `lax.map` groups so the per-group working set stays bounded at Gvoxel
+    scale. Padding blocks carry the label n (the dropped segment)."""
     bz, by, bx = block
     K = bz * by * bx
     K8 = K // 8
+    if _v2_eligible(block, n):
+        vb = _blockify(dense, block).reshape(-1, 8, K8)
+        ex = _extras_v2(dense, n, block)
+        wv2_np, xsel_np = _weight_table_v2(block)
+        wv2 = jnp.asarray(wv2_np)
+        xsel = jnp.asarray(xsel_np)
+        B_total = vb.shape[0]
+        group = min(group_blocks, B_total)
+        if B_total <= group:
+            return _pallas_group_v2(vb, ex, wv2, xsel, block, L, n, interpret)
+        vb_g = _group_pad(vb, group, n)
+        ex_g = _group_pad(ex, group, n)
+
+        def run_group_v2(args):
+            return _pallas_group_v2(*args, wv2, xsel, block, L, n, interpret)
+
+        outs = jax.lax.map(run_group_v2, (vb_g, ex_g))
+        flat = [o.reshape((-1,) + o.shape[2:])[:B_total] for o in outs]
+        return tuple(flat)
+
+    w = jnp.asarray(_weight_table(block))
     vb = _blockify(dense, block)
     nbrs = [
         _blockify(_shift_fill(dense, ax, jnp.asarray(n, dense.dtype)), block)
@@ -325,7 +736,7 @@ def _pallas_group(vb, vrz, vry, vrx, ex, w, block, L, n, interpret):
     bz, by, bx = block
     K = bz * by * bx
     kernel = _kernel_factory(block, L, n)
-    WCOLS = w.shape[1]
+    WP = w.shape[0]  # transposed [Wp, K] weight/selector table
     cols, outw = _packed_layout(L)
     K8 = K // 8
     E8 = ex.shape[1]
@@ -346,7 +757,7 @@ def _pallas_group(vb, vrz, vry, vrx, ex, w, block, L, n, interpret):
             pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E8, K8), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, WCOLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((WP, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, L, outw), mat, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, outw), jnp.int32),
@@ -441,10 +852,10 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
     block = cfg.block
     L = cfg.max_labels_per_block
     kp = cfg.max_pairs_per_block
+    kps = kp if isinstance(kp, tuple) else (kp, kp, kp)
     n = n_labels
     gz, gy, gx = _grid(slab_shape, block)
     bz, by, bx = block
-    w = jnp.asarray(_weight_table(block))
 
     ozz, oyy, oxx = np.meshgrid(
         np.arange(gz) * bz, np.arange(gy) * by, np.arange(gx) * bx, indexing="ij"
@@ -469,7 +880,7 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         # seam pass); the slab's own far faces pair with the fill label n
         # and drop out, which is what the sharded cross-slab halo expects
         (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = _pallas_main_pass(
-            dense, w, block, L, n, interpret
+            dense, block, L, n, interpret
         )
         dict_overflow = jnp.any(dovf)
 
@@ -479,13 +890,23 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
 
         los, his, counts, tags = [], [], [], []
         pair_overflow = jnp.zeros((), bool)
+        # measured per-axis p100 of nonzero entries per [L, L] pair matrix:
+        # lets the caller tighten max_pairs_per_block for later runs — the
+        # kp buffers set the input size of the global pair sort, the
+        # dominant post-kernel stage (~80 ms of the 512³ pass at kp=128)
+        pair_nz = []
         for ax, mats in enumerate((pz, py, px)):
-            lo, hi, ct, ov = _compact_pair_mats(mats, ids, ids, n, kp)
+            lo, hi, ct, ov = _compact_pair_mats(mats, ids, ids, n, kps[ax])
             los.append(lo)
             his.append(hi)
             counts.append(ct)
             tags.append(jnp.full(lo.shape, ax, jnp.int32))
             pair_overflow = pair_overflow | jnp.any(ov)
+            nz = jnp.sum(
+                (mats > 0).astype(jnp.int32).reshape(mats.shape[0], -1), axis=1
+            )
+            pair_nz.append(jnp.max(nz))
+        pair_nz = jnp.stack(pair_nz)
 
         return (
             ids,
@@ -498,6 +919,7 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
             jnp.concatenate(tags),
             dict_overflow,
             pair_overflow,
+            pair_nz,
         )
 
     return slab_pass
@@ -510,16 +932,17 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
     slab_pass = build_pallas_slab_fn(shape, n, cfg, interpret)
 
     def sweep(dense):
-        ids, cols, gmin_l, gmax_l, los, his, counts, tags, dovf, povf = (
-            slab_pass(dense, 0)
-        )
+        (
+            ids, cols, gmin_l, gmax_l, los, his, counts, tags, dovf, povf,
+            pair_nz,
+        ) = slab_pass(dense, 0)
         table, gmin, gmax = blocked._global_moment_combine(
             ids, cols, gmin_l, gmax_l, n
         )
         k1, k2, total, n_runs = _sorted_pair_reduce(
-            los, his, tags, counts, max_entries
+            los, his, tags, counts, max_entries, n_labels=n
         )
-        return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
+        return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf, pair_nz
 
     return jax.jit(sweep)
 

@@ -51,7 +51,7 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "z") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def _two_stage_pair_reduce(los, his, tags, counts, max_entries):
+def _two_stage_pair_reduce(los, his, tags, counts, max_entries, n_labels=None):
     """Sharded pair merge: reduce locally FIRST, then all_gather only the
     per-device run tables and merge those (VERDICT r1 weak #2: the old
     all_gather-then-reduce replicated an O(total_entries·log) sort on every
@@ -64,7 +64,7 @@ def _two_stage_pair_reduce(los, his, tags, counts, max_entries):
     single-stage reduce.
     """
     lk1, lk2, ltot, ln_runs = blocked._sorted_pair_reduce(
-        los, his, tags, counts, max_entries
+        los, his, tags, counts, max_entries, n_labels=n_labels
     )
     gk1 = jax.lax.all_gather(lk1, "z", tiled=True)
     gk2 = jax.lax.all_gather(lk2, "z", tiled=True)
@@ -247,9 +247,10 @@ def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries, interpret):
 
     slab_pass = pallas_block.build_pallas_slab_fn(slab.shape, n, cfg, interpret)
     me = jax.lax.axis_index("z")
-    ids, cols, gmin_l, gmax_l, los, his, counts, tags, dovf, povf = slab_pass(
-        slab, me * slab_z
-    )
+    # trailing pair_nz (the single-device kp-tightening stat) is unused
+    # here: the sharded path keeps the configured kp
+    (ids, cols, gmin_l, gmax_l, los, his, counts, tags, dovf, povf,
+     _pair_nz) = slab_pass(slab, me * slab_z)
 
     if n_dev > 1:
         first = slab[0].astype(jnp.int32)
@@ -278,7 +279,7 @@ def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries, interpret):
     gmax = jax.lax.pmax(gmax_loc, "z")
 
     k1, k2, total, n_runs = _two_stage_pair_reduce(
-        los, his, tags, counts, max_entries
+        los, his, tags, counts, max_entries, n_labels=n
     )
     flags = jax.lax.psum(jnp.stack([dovf, povf]).astype(jnp.int32), "z")
     return table, gmin, gmax, k1, k2, total, n_runs, flags[0] > 0, flags[1] > 0
@@ -362,9 +363,13 @@ def analyze_sharded_pallas(
             )
             continue
         if bool(povf):
+            kp = cfg.max_pairs_per_block
+            kp = (
+                tuple(k * 4 for k in kp) if isinstance(kp, tuple) else kp * 4
+            )
             cfg = dataclasses.replace(
                 cfg,
-                max_pairs_per_block=cfg.max_pairs_per_block * 4,
+                max_pairs_per_block=kp,
                 max_pairs_per_seam_tile=cfg.max_pairs_per_seam_tile * 4,
             )
             continue
@@ -455,7 +460,7 @@ def _blocked_slab_kernel(slab, *, n, cfg, wshift, slab_z, n_dev, max_entries):
     gmax = jax.lax.pmax(gmax_l, "z")
 
     k1, k2, total, n_runs = _two_stage_pair_reduce(
-        los, his, tags, counts, max_entries
+        los, his, tags, counts, max_entries, n_labels=n
     )
     flags = jax.lax.psum(
         jnp.stack([dovf, povf]).astype(jnp.int32), "z"
