@@ -6,6 +6,7 @@ Mosaic on a real TPU (exercised by bench/verify there).
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from tissue_analysis_tpu.core.stack import LabeledStack
 from tissue_analysis_tpu.core.synthetic import (
@@ -104,3 +105,39 @@ def test_pallas_dense_labels_past_bf16():
     b = analyze_stack_chunked(stack)
     for f in FIELDS:
         np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+
+
+def test_extras_v2_matches_numpy():
+    """kernel-v2's compact extras = the three +1 boundary planes per block,
+    raw labels with fill n beyond the padded stack (layout contract the
+    kernel's in-kernel neighbor construction depends on)."""
+    from tissue_analysis_tpu.ops import pallas_block as pb
+
+    block = (8, 16, 128)
+    bz, by, bx = block
+    img = np.asarray(voronoi_stack((16, 32, 256), 120, seed=9))
+    stack = LabeledStack.from_array(img, background=1)
+    dense = np.asarray(stack.dense)
+    n = stack.n_labels
+    ex = np.asarray(pb._extras_v2(jnp.asarray(dense), n, block))
+    Z, Y, X = dense.shape
+    gz, gy, gx = Z // bz, Y // by, X // bx
+    padded = np.full((Z + bz, Y + by, X + bx), n, dense.dtype)
+    padded[:Z, :Y, :X] = dense
+    for iz in range(gz):
+        for iy in range(gy):
+            for ix in range(gx):
+                b = (iz * gy + iy) * gx + ix
+                z0, y0, x0 = iz * bz, iy * by, ix * bx
+                assert np.array_equal(
+                    ex[b, 0, : by * bx],
+                    padded[z0 + bz, y0:y0 + by, x0:x0 + bx].reshape(-1),
+                )
+                assert np.array_equal(
+                    ex[b, 1, : bz * bx].reshape(bz, bx),
+                    padded[z0:z0 + bz, y0 + by, x0:x0 + bx],
+                )
+                xv = ex[b, 1, bz * bx:].reshape(bz, 128)[:, :by]
+                assert np.array_equal(
+                    xv, padded[z0:z0 + bz, y0:y0 + by, x0 + bx]
+                )
