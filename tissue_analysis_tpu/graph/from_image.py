@@ -50,15 +50,14 @@ def _bulk_topology(labels: Sequence[int], edge_pairs) -> PropertyGraph:
     that order — callers may rely on eid i == row i.
     """
     graph = PropertyGraph()
-    label2vertex = {}
-    for l in labels:
-        label2vertex[l] = graph.add_vertex()
+    label2vertex = {int(l): i for i, l in enumerate(labels)}
     if isinstance(edge_pairs, np.ndarray):
         pairs = edge_pairs.tolist()
     else:
         pairs = sorted(set(edge_pairs))
-    for a, b in pairs:
-        graph.add_edge(label2vertex[a], label2vertex[b])
+    graph._bulk_fill(
+        len(labels), [(label2vertex[a], label2vertex[b]) for a, b in pairs]
+    )
     graph.add_graph_property("label2vertex", label2vertex)
     graph.add_graph_property(
         "vertex2label", {v: k for k, v in label2vertex.items()}

@@ -50,6 +50,22 @@ class PropertyGraph:
         self._next_eid = max(self._next_eid, eid + 1)
         return eid
 
+    def _bulk_fill(self, n_vertices: int, edges) -> None:
+        """Fast-path topology fill: vertices 0..n-1, sequential edge ids.
+
+        Equivalent to n_vertices × add_vertex() + add_edge(a, b) per edge
+        (same ids, same incidence sets) without the per-call validation —
+        the property-graph build is host-side Python and these loops were
+        a measurable slice of the 512³ pass.
+        """
+        self._vertices = {v: set() for v in range(n_vertices)}
+        self._edges = dict(enumerate(map(tuple, edges)))
+        for eid, (a, b) in self._edges.items():
+            self._vertices[a].add(eid)
+            self._vertices[b].add(eid)
+        self._next_vid = n_vertices
+        self._next_eid = len(self._edges)
+
     def vertices(self) -> Iterable[int]:
         return iter(self._vertices)
 
