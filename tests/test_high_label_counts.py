@@ -129,14 +129,25 @@ def test_pallas_key_path_beyond_old_cap():
 
 
 def test_sharded_blocked_beyond_old_cap():
-    """z-slab-sharded blocked engine at 36,864 labels (> the old cap),
-    bit-equal to single-device."""
+    """z-slab-sharded blocked engine at 24,576 labels (> the old 23,169
+    cap), bit-equal to single-device.
+
+    The heaviest suite test: it runs after the module's 102k-label
+    fixtures with hundreds of live compiled executables, and the stacked
+    native footprint intermittently aborted the whole interpreter
+    (observed twice in full-suite runs; never standalone). Dropping the
+    executable caches first and using the smallest beyond-cap grid keeps
+    the peak bounded.
+    """
+    import jax
+
     from tissue_analysis_tpu.parallel.sharded import (
         analyze_sharded_blocked,
         make_mesh,
     )
 
-    shape = (96, 192, 128)  # 24·48·32 = 36,864 cells
+    jax.clear_caches()
+    shape = (96, 128, 128)  # 24·32·32 = 24,576 cells
     img = grid_stack(shape, CELL)
     stack = LabeledStack.from_array(np.asarray(img), background=None)
     single = analyze_stack_blocked(stack, cfg=CFG_16)
