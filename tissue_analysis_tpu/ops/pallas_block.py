@@ -75,7 +75,14 @@ _QSHIFT = 9  # offset-product split in the reconstruction
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
     block: Tuple[int, int, int] = (8, 16, 128)
-    max_labels_per_block: int = 32  # L (measured p100 = 22 on 512³ stacks)
+    # L (measured p100 = 22 on 512³ stacks). NB: the kernel's dictionary is
+    # parity-partitioned (even/odd label ids extracted independently), so a
+    # block whose distinct labels skew to one parity overflows at L/2 in
+    # that group; the rerun-larger retry doubles L — correct, but one extra
+    # compile. Inputs are densely relabeled (core/stack.py) so segment-id
+    # parity is effectively random; systematic all-even/all-odd skew cannot
+    # survive ingest.
+    max_labels_per_block: int = 32
     # kp for the XLA compaction stage: one int, or a per-axis (z, y, x)
     # tuple — the three face directions have very different pair densities
     # (a block crosses 8 z-planes but 128 x-columns), and 3·B·kp is the

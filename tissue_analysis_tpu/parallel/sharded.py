@@ -326,9 +326,18 @@ def analyze_sharded_pallas(
     if stack.ndim != 3:
         raise ValueError("pallas sharded engine requires a 3D stack")
     n = stack.n_labels
-    cfg = cfg or pallas_block.PallasConfig()
     interpret = jax.default_backend() != "tpu"
     n_dev = mesh.shape["z"]
+    # reuse last-known-good configs across analyses (VERDICT r2 weak #5 —
+    # sharded paths redid buffer discovery on every call); keyed separately
+    # from the single-device entries because slab/seam buffers differ
+    from tissue_analysis_tpu.engine import _GOOD_CFG
+
+    cfg_key = (
+        ("sharded-pallas", stack.shape, n, n_dev) if cfg is None else None
+    )
+    if cfg is None:
+        cfg = _GOOD_CFG.get(cfg_key) or pallas_block.PallasConfig()
     bz = cfg.block[0]
     z = stack.shape[0]
     slab_z = -(-z // (n_dev * bz)) * bz
@@ -376,6 +385,8 @@ def analyze_sharded_pallas(
         if int(n_runs) > max_entries:
             cfg = dataclasses.replace(cfg, max_pairs=-(-int(n_runs) // 3) + 16)
             continue
+        if cfg_key is not None:
+            _GOOD_CFG[cfg_key] = cfg
         moments = pallas_block.assemble_moments_pallas(
             np.asarray(table), np.asarray(gmin), np.asarray(gmax)
         )
@@ -508,8 +519,14 @@ def analyze_sharded_blocked(
     if stack.ndim != 3:
         raise ValueError("blocked sharded engine requires a 3D stack")
     n = stack.n_labels
-    cfg = cfg or blocked.BlockConfig()
     n_dev = mesh.shape["z"]
+    from tissue_analysis_tpu.engine import _GOOD_CFG
+
+    cfg_key = (
+        ("sharded-blocked", stack.shape, n, n_dev) if cfg is None else None
+    )
+    if cfg is None:
+        cfg = _GOOD_CFG.get(cfg_key) or blocked.BlockConfig()
     bz = cfg.block[0]
     z = stack.shape[0]
     slab_z = -(-z // (n_dev * bz)) * bz
@@ -546,6 +563,8 @@ def analyze_sharded_blocked(
         if int(n_runs) > max_entries:
             cfg = dataclasses.replace(cfg, max_pairs=-(-int(n_runs) // 3) + 16)
             continue
+        if cfg_key is not None:
+            _GOOD_CFG[cfg_key] = cfg
         moments = blocked.assemble_moments(
             np.asarray(table), np.asarray(gmin), np.asarray(gmax), wshift
         )
