@@ -67,6 +67,11 @@ from tissue_analysis_tpu.graph import (  # noqa: F401
     temporal_rate,
     time_point_property,
 )
+from tissue_analysis_tpu.streaming import (  # noqa: F401
+    ArraySource,
+    TiledSource,
+    analyze_streamed,
+)
 from tissue_analysis_tpu.series import (  # noqa: F401
     analyze_series,
     graph_series,
