@@ -421,6 +421,47 @@ def analyze_streamed(
     else:
         prev_last = jnp.full((y, x), n, dtype=jnp.int32)
 
+    def collect(pend):
+        """Sync one dispatched slab; resolve overflow retries inline.
+
+        Retries re-run the SAME device inputs (slab + its seam plane) with
+        grown buffers — the seam plane handed to the next slab is just the
+        slab's last z-plane, valid regardless of overflow, so pipelined
+        later slabs never need re-dispatching for an earlier retry.
+        """
+        nonlocal cfg
+        z0, out, slab_dev, seam_in = pend
+        for _attempt in range(12):
+            with timing.stage(f"stream: slab z{z0} collect"):
+                (
+                    table, gmin, gmax, k1, k2, total, n_runs, dovf, povf,
+                    _last,
+                ) = jax.device_get(out)
+            if (
+                bool(dovf)
+                or bool(povf)
+                or int(n_runs) > 3 * cfg.derived_max_pairs(n)
+            ):
+                cfg = _grow_cfg(
+                    engine, cfg, bool(dovf), bool(povf), int(n_runs)
+                )
+                out = get_program(cfg)(slab_dev, seam_in)
+                continue
+            if engine == "pallas":
+                m = pallas_block.assemble_moments_pallas(table, gmin, gmax)
+            else:
+                wshift = blocked._check_static(slab_shape, n, cfg)
+                m = blocked.assemble_moments(table, gmin, gmax, wshift)
+            acc.add_moments(_shift_moments_z(m, z0))
+            lo, hi, c3 = blocked.assemble_pairs(k1, k2, total)
+            acc.add_pairs(lo, hi, c3)
+            return
+        raise RuntimeError("streamed slab failed to converge on buffers")
+
+    # software-pipelined loop: while the device runs slab k, the host
+    # reads/relabels slab k+1 and enqueues its transfer — end-to-end time
+    # approaches max(host ingest, device compute) instead of their sum
+    pending = None
     for z0 in range(0, z, slab_z):
         z1 = min(z0 + slab_z, z)
         with timing.stage(f"stream: slab z{z0} read+relabel"):
@@ -430,29 +471,15 @@ def analyze_streamed(
                     (slab_z - (z1 - z0), y, x), n, dtype=slab.dtype
                 )
                 slab = np.concatenate([slab, pad], axis=0)
-        for _attempt in range(12):
-            program = get_program(cfg)
-            with timing.stage(f"stream: slab z{z0} device pass"):
-                out = program(jnp.asarray(slab), prev_last)
-                (
-                    table, gmin, gmax, k1, k2, total, n_runs, dovf, povf,
-                    last,
-                ) = jax.device_get(out)
-            if bool(dovf) or bool(povf) or int(n_runs) > 3 * cfg.derived_max_pairs(n):
-                cfg = _grow_cfg(engine, cfg, bool(dovf), bool(povf), int(n_runs))
-                continue
-            break
-        else:
-            raise RuntimeError("streamed slab failed to converge on buffers")
-        prev_last = out[-1]  # stays on device for the next seam
-        if engine == "pallas":
-            m = pallas_block.assemble_moments_pallas(table, gmin, gmax)
-        else:
-            wshift = blocked._check_static(slab_shape, n, cfg)
-            m = blocked.assemble_moments(table, gmin, gmax, wshift)
-        acc.add_moments(_shift_moments_z(m, z0))
-        lo, hi, c3 = blocked.assemble_pairs(k1, k2, total)
-        acc.add_pairs(lo, hi, c3)
+        slab_dev = jnp.asarray(slab)  # async H2D
+        seam_in = prev_last
+        out = get_program(cfg)(slab_dev, seam_in)  # async dispatch
+        prev_last = out[-1]  # device future; exact even if buffers overflow
+        if pending is not None:
+            collect(pending)
+        pending = (z0, out, slab_dev, seam_in)
+    if pending is not None:
+        collect(pending)
 
     return acc.finish(ids, shape, voxelsize, background_segment)
 
