@@ -1,0 +1,73 @@
+"""2D performance number (VERDICT r2 missing #3): 4096^2 through the
+lifted engines on the real chip. Prints one JSON line per engine."""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    from tissue_analysis_tpu.engine import (
+        analyze_stack_blocked,
+        analyze_stack_pallas,
+    )
+    from tissue_analysis_tpu.graph.from_image import graph_from_table
+
+    n = int(os.environ.get("BENCH2D_SIZE", "4096"))
+    cells = int(os.environ.get("BENCH2D_CELLS", "4000"))
+    cache = f"/tmp/ta_bench_cache/voronoi2d_{n}_{cells}_1.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            img = z["img"]
+    else:
+        img = np.asarray(voronoi_stack((n, n), cells, seed=1))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(cache, img=img)
+
+    stack = LabeledStack.from_array(img, background=1)
+    np.asarray(stack.dense[0, 0])
+    voxels = float(img.size)
+
+    ref = None
+    for name, fn in (
+        ("pallas", analyze_stack_pallas),
+        ("blocked", analyze_stack_blocked),
+    ):
+        fn(stack)
+        fn(stack)  # second warmup: converged-config compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            t = fn(stack)
+            graph_from_table(t)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        if ref is None:
+            ref = t
+        else:
+            np.testing.assert_array_equal(t.count, ref.count)
+            np.testing.assert_array_equal(t.wall_face_counts, ref.wall_face_counts)
+        print(
+            json.dumps(
+                {
+                    "case": f"2D {n}^2, {t.n_labels} labels / {t.n_pairs} walls",
+                    "engine": name,
+                    "backend": jax.default_backend(),
+                    "wall_s": round(best, 4),
+                    "mvox_s": round(voxels / best / 1e6, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

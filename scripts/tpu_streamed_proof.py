@@ -1,0 +1,89 @@
+"""Out-of-core proof on the real chip (VERDICT r2 item 5): a stack larger
+than HBM, generated slab-wise (never materialized), streamed through
+analyze_streamed; per-tile interior cell features must bit-match the 512^3
+base stack's.
+
+Usage: python scripts/tpu_streamed_proof.py [tiles_per_axis] [base_cells]
+Default 3 (1536^3, 3.4 Gvox, ~55k labels, uint16). 4 -> 2048^3 (8.6 Gvox,
+17 GB > v5e HBM) needs base_cells <= ~1000 to keep labels under 2^16.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    from tissue_analysis_tpu.engine import analyze_stack
+    from tissue_analysis_tpu.streaming import TiledSource, analyze_streamed
+
+    t_axis = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    base_cells = int(sys.argv[2]) if len(sys.argv) > 2 else 3500
+    cache = f"/tmp/ta_bench_cache/voronoi_512_{base_cells}_1.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            base = z["img"]
+    else:
+        base = np.asarray(voronoi_stack((512, 512, 512), base_cells, seed=1))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(cache, img=base)
+
+    src = TiledSource(base, (t_axis, t_axis, t_axis), background=1)
+    print(
+        f"streaming {src.shape} ({np.prod(src.shape)/1e9:.2f} Gvox, "
+        f"dtype {src.dtype})",
+        flush=True,
+    )
+
+    t0 = time.perf_counter()
+    table = analyze_streamed(src, background=1, slab_z=128)
+    wall = time.perf_counter() - t0
+
+    # validation: totals + per-tile interior cells bit-match the base
+    assert int(table.count.sum()) == int(np.prod(src.shape))
+    t_base = analyze_stack(LabeledStack.from_array(base, background=1))
+    stride = src.stride
+    n_tiles = t_axis**3
+    checked = 0
+    for s, l in enumerate(t_base.ids):
+        if t_base.margin[s] or int(l) == 1:
+            continue
+        for k in (1, n_tiles - 1):
+            l2 = int(l) + k * stride
+            s2 = table.segment_of(l2)
+            assert s2 is not None, l2
+            assert table.count[s2] == t_base.count[s]
+            # barycenter shifts by exactly the tile offset: s1 moments obey
+            # s1_tile = s1_base + count * offset (exact ints)
+            tz, iy, ix = k // (t_axis * t_axis), (k // t_axis) % t_axis, k % t_axis
+            off = np.array([tz, iy, ix], np.int64) * 512
+            np.testing.assert_array_equal(
+                table.s1[s2], t_base.s1[s] + t_base.count[s] * off
+            )
+            checked += 1
+    print(
+        json.dumps(
+            {
+                "case": f"streamed {src.shape}, {table.n_labels} labels / "
+                f"{table.n_pairs} walls",
+                "backend": jax.default_backend(),
+                "wall_s": round(wall, 2),
+                "mvox_s": round(np.prod(src.shape) / wall / 1e6, 1),
+                "interior_cells_bitmatched": checked,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
