@@ -33,7 +33,7 @@ from tissue_analysis_tpu.core.spatial_image import (  # noqa: F401
     imsave,
 )
 from tissue_analysis_tpu.core.stack import LabeledStack  # noqa: F401
-from tissue_analysis_tpu.engine import analyze  # noqa: F401
+from tissue_analysis_tpu.engine import analyze, analyze_raw  # noqa: F401
 from tissue_analysis_tpu.features.table import FeatureTable  # noqa: F401
 from tissue_analysis_tpu.analysis import (  # noqa: F401
     DICT,
