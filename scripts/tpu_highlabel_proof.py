@@ -50,9 +50,12 @@ def run_case(name, img, background, pallas_cfg=None, blocked_cfg=None):
     stack = LabeledStack.from_array(np.asarray(img), background=background)
     np.asarray(stack.dense[0, 0, 0])  # fence transfer
 
+    # TWO warmups (CLAUDE.md measurement discipline): run 1 converges the
+    # buffer config, run 2 compiles the converged config; run 3 is honest
     t0 = time.perf_counter()
     tp = analyze_stack_pallas(stack, cfg=pallas_cfg)
     t_pallas_1 = time.perf_counter() - t0
+    analyze_stack_pallas(stack, cfg=pallas_cfg)
     t0 = time.perf_counter()
     tp = analyze_stack_pallas(stack, cfg=pallas_cfg)
     t_pallas = time.perf_counter() - t0
@@ -60,6 +63,7 @@ def run_case(name, img, background, pallas_cfg=None, blocked_cfg=None):
     t0 = time.perf_counter()
     tb = analyze_stack_blocked(stack, cfg=blocked_cfg)
     t_blocked_1 = time.perf_counter() - t0
+    analyze_stack_blocked(stack, cfg=blocked_cfg)
     t0 = time.perf_counter()
     tb = analyze_stack_blocked(stack, cfg=blocked_cfg)
     t_blocked = time.perf_counter() - t0

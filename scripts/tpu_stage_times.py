@@ -1,0 +1,125 @@
+"""Measure the 512^3 pallas pass stage-by-stage on the real TPU.
+
+Isolates (each as its own jit, timed by host readback of a tiny reduction
+so transfer cost stays off the clock):
+  1. kernel-only: the pallas grid (packed per-block outputs)
+  2. prep: pad + blockify + extras build (XLA, pre-kernel)
+  3. moments: global segment combine + reconstruction
+  4. pairs: compaction (top_k + id lookup) + global sort-reduce
+  5. full fused sweep (the real path) for reference
+plus the host stages (readback, assemble, graph export) from the
+engine's timing log.
+
+Usage: PYTHONPATH=/root/repo python -u scripts/tpu_stage_times.py [SIZE]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def fence(x):
+    return np.asarray(jax.device_get(x))
+
+
+def timeit(fn, *args, reps=3):
+    fn(*args)  # warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+if __name__ == "__main__":
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+    from tissue_analysis_tpu.engine import (
+        _GOOD_CFG,
+        analyze_stack_pallas,
+        collect_stack_pallas,
+        dispatch_stack_pallas,
+    )
+    from tissue_analysis_tpu.ops import blocked, pallas_block
+
+    cache = f"/tmp/ta_bench_cache/voronoi_{size}_3500_1.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            img = z["img"]
+    else:
+        img = np.asarray(voronoi_stack((size,) * 3, 3500, seed=1))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(cache, img=img)
+
+    stack = LabeledStack.from_array(img, background=1)
+    fence(stack.dense[0, 0, 0])
+    n = stack.n_labels
+
+    # converge + compile the good cfg (two warmups)
+    t = analyze_stack_pallas(stack)
+    t = analyze_stack_pallas(stack)
+    cfg = _GOOD_CFG.get(("pallas", stack.shape, n)) or pallas_block.PallasConfig()
+    print("cfg:", cfg, flush=True)
+
+    shape = tuple(stack.dense.shape)
+    slab = pallas_block.build_pallas_slab_fn(shape, n, cfg, False)
+
+    # full slab pass (kernel + compaction, no global sort)
+    slab_j = jax.jit(lambda d: slab(d, 0))
+    out = slab_j(stack.dense)
+    t_slab = timeit(lambda d: fence(slab_j(d)[0][0, 0]), stack.dense)
+
+    # full sweep (everything on device)
+    full = pallas_block.pallas_sweep(stack.dense, n, cfg)
+    t_full = timeit(
+        lambda d: fence(pallas_block.pallas_sweep(d, n, cfg)[0][0, 0]),
+        stack.dense,
+    )
+
+    # whole engine incl. host assemble (readback path)
+    t_engine = timeit(lambda s: analyze_stack_pallas(s), stack)
+
+    # pair sort-reduce alone, on the slab outputs (device-resident inputs)
+    ids, cols, gmin_l, gmax_l, los, his, counts, tags = (
+        out[0], out[1], out[2], out[3], out[4], out[5], out[6], out[7]
+    )
+    max_entries = 3 * cfg.derived_max_pairs(n)
+    sortj = jax.jit(
+        lambda a, b, c, d: blocked._sorted_pair_reduce(
+            a, b, c, d, max_entries, n_labels=n
+        )
+    )
+    t_sort = timeit(lambda: fence(sortj(los, his, tags, counts)[3]))
+
+    # moment combine alone
+    momj = jax.jit(
+        lambda i, c, mn, mx: blocked._global_moment_combine(i, c, mn, mx, n)
+    )
+    t_mom = timeit(lambda: fence(momj(ids, cols, gmin_l, gmax_l)[0][0, 0]))
+
+    print(
+        json.dumps(
+            {
+                "size": size,
+                "labels": n,
+                "entries_sorted": int(los.shape[0]),
+                "slab_pass_s": round(t_slab, 4),
+                "full_sweep_s": round(t_full, 4),
+                "engine_s": round(t_engine, 4),
+                "pair_sort_s": round(t_sort, 4),
+                "moment_combine_s": round(t_mom, 4),
+                "host_side_s": round(t_engine - t_full, 4),
+            }
+        ),
+        flush=True,
+    )
