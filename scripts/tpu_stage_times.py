@@ -89,6 +89,11 @@ if __name__ == "__main__":
     # whole engine incl. host assemble (readback path)
     t_engine = timeit(lambda s: analyze_stack_pallas(s), stack)
 
+    # relay round-trip floor: fence of a trivial jit — subtract from every
+    # standalone number (each timed call ends in one scalar readback)
+    trivj = jax.jit(lambda d: d[0, 0, 0] + 1)
+    t_rt = timeit(lambda d: fence(trivj(d)), stack.dense)
+
     # pair sort-reduce alone, on the slab outputs (device-resident inputs)
     ids, cols, gmin_l, gmax_l, los, his, counts, tags = (
         out[0], out[1], out[2], out[3], out[4], out[5], out[6], out[7]
@@ -107,6 +112,52 @@ if __name__ == "__main__":
     )
     t_mom = timeit(lambda: fence(momj(ids, cols, gmin_l, gmax_l)[0][0, 0]))
 
+    # sub-slab attribution: grid-only (pallas_call + input prep, no pair
+    # compaction), and prep-only (pad + extras build, no kernel)
+    from tissue_analysis_tpu.ops.pallas_block import (
+        _extras_v2,
+        _pad_to_blocks,
+        _pallas_main_pass,
+        _v2_eligible,
+    )
+
+    L = cfg.max_labels_per_block
+
+    def prep_only(dense):
+        if dense.dtype != jnp.uint16 and n <= 65535:
+            dense = dense.astype(jnp.uint16)
+        padded = _pad_to_blocks(dense, n, cfg.block)
+        ex = _extras_v2(padded, n, cfg.block)
+        return padded[0, 0, 0].astype(jnp.int32) + ex[0, 0, 0].astype(jnp.int32)
+
+    prepj = jax.jit(prep_only)
+    t_prep = timeit(lambda d: fence(prepj(d)), stack.dense)
+
+    def grid_only(dense):
+        if dense.dtype != jnp.uint16 and n <= 65535:
+            dense = dense.astype(jnp.uint16)
+        padded = _pad_to_blocks(dense, n, cfg.block)
+        ids, mom_local, bbmin, bbmax, pz, py, px, dovf = _pallas_main_pass(
+            padded, cfg.block, L, n, False
+        )
+        return ids[0, 0] + pz[0, 0, 0].astype(jnp.int32)
+
+    gridj = jax.jit(grid_only)
+    t_grid = timeit(lambda d: fence(gridj(d)), stack.dense)
+    print("v2_eligible:", _v2_eligible(cfg.block, n), flush=True)
+
+    # first sort of the raw entry stream (the dominant half of the pair
+    # reduce) vs the full two-sort reduce, to split sort1/sort2
+    def sort1_only(a, b, c, d):
+        valid = a < blocked._IMAX
+        n4 = 4 * n
+        packed = jnp.where(valid, a * n4 + b * 4 + c, blocked._IMAX)
+        k, ct = jax.lax.sort((packed, d), num_keys=1)
+        return k[0] + ct[0]
+
+    s1j = jax.jit(sort1_only)
+    t_sort1 = timeit(lambda: fence(s1j(los, his, tags, counts)))
+
     print(
         json.dumps(
             {
@@ -117,7 +168,11 @@ if __name__ == "__main__":
                 "full_sweep_s": round(t_full, 4),
                 "engine_s": round(t_engine, 4),
                 "pair_sort_s": round(t_sort, 4),
+                "pair_sort1_s": round(t_sort1, 4),
                 "moment_combine_s": round(t_mom, 4),
+                "prep_s": round(t_prep, 4),
+                "grid_s": round(t_grid, 4),
+                "roundtrip_s": round(t_rt, 4),
                 "host_side_s": round(t_engine - t_full, 4),
             }
         ),

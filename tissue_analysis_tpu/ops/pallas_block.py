@@ -497,17 +497,24 @@ def _kernel_factory_v2(block, L, n):
         bbmin = jnp.stack(mins, axis=1)
         bbmax = jnp.stack(maxs, axis=1)
 
-        # ---- 4. neighbor arrays built in-kernel --------------------------
+        # ---- 4. neighbor one-hots built from the BLOCK'S OWN one-hot
+        # parts (one-hot commutes with the +1-voxel shifts) — only the
+        # boundary patches need fresh compares, so the z and y neighbor
+        # one-hots cost 1 full-width + 8 narrow compares instead of 16
+        # full-width ones (~40% of the kernel's compare traffic).
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, K8), 1)
-        # z: sublane shift; the patch row is the extras next-z plane
-        vrz = jnp.concatenate([v8[1:], ex[0:1]], axis=0)
-        # y: +1 y = +bx lanes; the lane shift drops the y == by-1 lanes off
-        # the end, and concatenating the next-y patch plane (extras row 1,
-        # [bz, bx] z-major) puts the cross-block neighbors exactly there
+        # z: rows 0..6 ARE parts[1..7]; row 7 is the extras next-z plane
+        ohz_extra = (ex[0:1, :] == ids).astype(jnp.bfloat16)  # [L, K8]
+        # y: +1 y = +bx lanes. The offset-bx slice is vreg-lane-aligned
+        # (bx == 128), unlike the offset-1 slice that silently mis-lowers
+        # (see vrx below) — covered by test_pallas_engine's bit-parity and
+        # the on-silicon 512³ cross-engine check.
         ypatch = jnp.concatenate(
             [ex[1:2, s * bx:(s + 1) * bx] for s in range(8)], axis=0
         )  # [8, bx]
-        vry = jnp.concatenate([v8[:, bx:], ypatch], axis=1)
+        ypatch_oh = [
+            (ypatch[s:s + 1, :] == ids).astype(jnp.bfloat16) for s in range(8)
+        ]  # [L, bx] each
         # x: +1 lane; x == bx-1 lanes patch from the next-x plane (extras
         # row 1, one 128-aligned lane group per z-plane whose first `by`
         # lanes are the values), spread to lanes j ≡ bx-1 (mod bx) by
@@ -538,11 +545,14 @@ def _kernel_factory_v2(block, L, n):
         xshift = pltpu.roll(v8, K8 - 1, 1)
         vrx = jnp.where(lane % bx == bx - 1, xspread, xshift)
 
-        nb = jnp.concatenate(
-            [jnp.concatenate(onehot_rows(v), axis=1)
-             for v in (vrz, vry, vrx)],
-            axis=0,
-        )  # [3L, K]
+        ohz = jnp.concatenate(parts[1:] + [ohz_extra], axis=1)  # [L, K]
+        ohy = jnp.concatenate(
+            [jnp.concatenate([parts[s][:, bx:], ypatch_oh[s]], axis=1)
+             for s in range(8)],
+            axis=1,
+        )  # [L, K]
+        ohx = jnp.concatenate(onehot_rows(vrx), axis=1)  # [L, K]
+        nb = jnp.concatenate([ohz, ohy, ohx], axis=0)  # [3L, K]
         pf = jax.lax.dot_general(
             oh, nb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -903,16 +913,15 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         # dominant post-kernel stage (~80 ms of the 512³ pass at kp=128)
         pair_nz = []
         for ax, mats in enumerate((pz, py, px)):
-            lo, hi, ct, ov = _compact_pair_mats(mats, ids, ids, n, kps[ax])
+            lo, hi, ct, ov, nz_max = _compact_pair_mats(
+                mats, ids, ids, n, kps[ax]
+            )
             los.append(lo)
             his.append(hi)
             counts.append(ct)
             tags.append(jnp.full(lo.shape, ax, jnp.int32))
             pair_overflow = pair_overflow | jnp.any(ov)
-            nz = jnp.sum(
-                (mats > 0).astype(jnp.int32).reshape(mats.shape[0], -1), axis=1
-            )
-            pair_nz.append(jnp.max(nz))
+            pair_nz.append(nz_max)
         pair_nz = jnp.stack(pair_nz)
 
         return (
