@@ -235,11 +235,12 @@ def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
     nz = jnp.sum((flat > 0).astype(jnp.int32), axis=1)
     overflow = nz > kp
     nz_max = jnp.max(nz)
-    # pack: count·L² + localkey  (count < 2^31 / L²  — block faces ≪ that)
-    packed = jnp.where(flat > 0, flat * (L * L) + jnp.arange(L * L, dtype=jnp.int32), 0)
-    top, _idx = jax.lax.top_k(packed, kp)  # [Bm, kp]
-    count = top // (L * L)
-    lk = top % (L * L)
+    # top_k by count keeps ALL positive entries whenever nz <= kp (zeros
+    # pad the rest and are dropped by the validity filter); the returned
+    # indices ARE the local pair keys, so no count·L²+key packing pass is
+    # needed — tie order among kept entries is irrelevant (the global sort
+    # canonicalizes downstream, tables stay bit-identical)
+    count, lk = jax.lax.top_k(flat, kp)  # [Bm, kp]
     if n < (1 << 24):
         # id lookup as an exact one-hot f32 matvec — generic gathers cost
         # ~20 ms/axis on TPU at 512³; ids < 2^24 are f32-exact and the pad
@@ -468,11 +469,8 @@ def _check_static(shape, n_labels, cfg: BlockConfig) -> int:
     wshift = max(int(s - 1).bit_length() for s in padded)
     if K << wshift > int(_IMAX):
         raise ValueError("stack too large for exact int32 block contraction")
-    if K * L * L > int(_IMAX):
-        raise ValueError(
-            "count·L² pair packing would overflow int32; reduce block size "
-            "or max_labels_per_block"
-        )
+    # (no count·L² bound anymore: pair compaction top_k's raw counts and
+    # uses the returned indices as local keys — nothing is packed)
     return wshift
 
 

@@ -71,6 +71,11 @@ _WMASK = (1 << _WSHIFT) - 1
 _N_FEATS = 10
 _QSHIFT = 9  # offset-product split in the reconstruction
 
+# Debug override for timing experiments ONLY: caps the dictionary
+# extraction chain at this many steps (results become incomplete and the
+# overflow flag fires — never set outside perf-attribution scripts).
+_DICT_STEPS = None
+
 
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
@@ -79,9 +84,10 @@ class PallasConfig:
     # parity-partitioned (even/odd label ids extracted independently), so a
     # block whose distinct labels skew to one parity overflows at L/2 in
     # that group; the rerun-larger retry doubles L — correct, but one extra
-    # compile. Inputs are densely relabeled (core/stack.py) so segment-id
-    # parity is effectively random; systematic all-even/all-odd skew cannot
-    # survive ingest.
+    # compile. Dense relabeling (core/stack.py) makes segment-id parity
+    # effectively random; `engine.analyze_raw` feeds RAW label values, so a
+    # systematically skewed id set (e.g. all-even after 2× downsampling)
+    # pays that one extra compile there — correctness is unaffected.
     max_labels_per_block: int = 32
     # kp for the XLA compaction stage: one int, or a per-axis (z, y, x)
     # tuple — the three face directions have very different pair densities
@@ -110,8 +116,6 @@ def _check_static_pallas(shape, n_labels, cfg: PallasConfig) -> None:
             "n_labels exceeds the int32 (hi·4 + axis) sort-key space "
             "(n must be < 2^29)"
         )
-    if K * L * L > int(_IMAX):
-        raise ValueError("count·L² pair packing would overflow int32")
     padded = tuple(g * b for g, b in zip(_grid(shape, cfg.block), cfg.block))
     off_max = [p - b for p, b in zip(padded, cfg.block)]
     s1_max = [K * (b - 1) for b in cfg.block]
@@ -234,9 +238,10 @@ def _kernel_factory(block, L, n):
         # way. Slot order is irrelevant to every consumer (see below).
         assert L % 4 == 0, "dictionary size must be 4-divisible (parity fill)"
         half = L // 2
+        steps = L // 4 if _DICT_STEPS is None else min(_DICT_STEPS, L // 4)
         mask_e = mask & ((v_all & 1) == 0)
         mask_o = mask & ((v_all & 1) == 1)
-        for l in range(L // 4):
+        for l in range(steps):
             m_e = jnp.min(jnp.where(mask_e, v_all, _IMAX))
             x_e = jnp.max(jnp.where(mask_e, v_all, -1))
             m_o = jnp.min(jnp.where(mask_o, v_all, _IMAX))
@@ -407,9 +412,10 @@ def _kernel_factory_v2(block, L, n):
         ids = jnp.full((L, 1), _IMAX, jnp.int32)
         assert L % 4 == 0
         half = L // 2
+        steps = L // 4 if _DICT_STEPS is None else min(_DICT_STEPS, L // 4)
         mask_e = mask & ((v_all & 1) == 0)
         mask_o = mask & ((v_all & 1) == 1)
-        for l in range(L // 4):
+        for l in range(steps):
             m_e = jnp.min(jnp.where(mask_e, v_all, _IMAX))
             x_e = jnp.max(jnp.where(mask_e, v_all, -1))
             m_o = jnp.min(jnp.where(mask_o, v_all, _IMAX))
