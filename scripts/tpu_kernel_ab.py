@@ -45,7 +45,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    for steps in (None, 6, 4, 2, 0):
+    full = (L // pallas_block._DICT_GROUPS) // 2
+    # NB: steps=0 crashes the Mosaic server-side compile (degenerate
+    # kernel); extrapolate the zero-chain intercept from the fit instead
+    for steps in (None, *range(full - 1, 0, -1)):
         pallas_block._DICT_STEPS = steps
 
         def grid_only(dense):
@@ -60,7 +63,7 @@ def main():
         gj = jax.jit(grid_only)
         t = timeit(lambda: fence(gj(stack.dense)))
         print(
-            json.dumps({"dict_steps": steps if steps is not None else L // 4,
+            json.dumps({"dict_steps": steps if steps is not None else full,
                         "grid_s": round(t, 4)}),
             flush=True,
         )

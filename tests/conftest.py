@@ -21,6 +21,27 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_state():
+    """Bound accumulated XLA CPU runtime state across the long suite.
+
+    A full run compiles thousands of distinct executables; late in the
+    suite fresh compiles started dying (SIGABRT/segfault inside
+    backend_compile — observed twice, in different test files, always
+    >45 min in, never in isolation). Dropping compiled-executable caches
+    once the process map count grows large keeps the runtime well away
+    from that state at the cost of a few recompiles.
+    """
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:
+        return
+    if n_maps > 20000:
+        jax.clear_caches()
+
 from tissue_analysis_tpu.core.synthetic import (  # noqa: E402
     single_cube_image,
     two_slab_image,

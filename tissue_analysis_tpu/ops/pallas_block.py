@@ -76,18 +76,96 @@ _QSHIFT = 9  # offset-product split in the reconstruction
 # overflow flag fires — never set outside perf-attribution scripts).
 _DICT_STEPS = None
 
+# Dictionary partition width: labels are hashed into G groups extracted
+# independently, so the serial extraction chain is L/(2G) dependent steps
+# (the chain, not VPU throughput, is the kernel's cost — measured
+# ~2.8 ms/step at 512³ with G=2, ~3.7 with G=4, ~5.6 with G=8).
+#
+# G is CAPACITY-LIMITED, not speed-limited: overflow fires when one group
+# exceeds L/G distinct labels, and 23 labels (the measured per-block p100
+# at 512³) thrown into G≥4 bins exceed L/G = 8 with near-certainty
+# somewhere among 8192 blocks (measured max loads: G=4 → 10-12, G=8 → 7
+# vs capacities 8 / 4) — the engine's retry would double L and lose more
+# than the shorter chain saves. G=2 keeps capacity 16 ≥ the measured max
+# load (15 with the multiplicative hash) at the default L=32.
+_DICT_GROUPS = 2
+
+
+def _dict_extract(v_all, L, n):
+    """Iterative masked min/max dictionary extraction over ``v_all``.
+
+    Shared by kernel v1 and v2 (bit-identical downstream contract). Labels
+    >= n (fill/pad) never take a slot. The label set is partitioned into
+    ``_DICT_GROUPS`` groups on a multiplicative (Fibonacci) hash — top
+    bits of ``v · 2654435761``, decorrelated from structured id sets like
+    all-even labels after 2× downsampling, unlike a plain parity split
+    (ADVICE r2) — and each step extracts the
+    min AND max of every group: 2G mutually independent reductions per
+    step, a serial chain of L/(2G) steps. When ≤1 label remains in a group
+    max == min (or min = _IMAX, max = -1 when empty) and the max slot
+    stays _IMAX via the x > m guard — no duplicate dictionary entries,
+    which would double-count in the one-hot dots. Slot ORDER is arbitrary,
+    which is fine: every consumer (one-hot compare, pair compaction,
+    global segment-combine, final pair sort) is slot-order agnostic, so
+    output tables stay bit-identical. Overflow fires when ONE group
+    exceeds L/G distinct labels — earlier than the plain ">L distinct"
+    rule for hash-skewed sets (rare by construction); the host retry
+    doubles L either way. STATICALLY UNROLLED: a fori_loop here carries i1
+    masks whose Mosaic layouts disagree between loop entry and body and
+    fail to compile.
+
+    Returns (ids [L, 1] int32 with _IMAX in empty slots, ovf [L, 1]).
+    """
+    G = _DICT_GROUPS
+    # degrade for small L (overflow-path tests use L down to 4): largest
+    # power-of-two group count <= _DICT_GROUPS with whole slot segments
+    while G > 1 and (L % (2 * G) != 0):
+        G //= 2
+    assert L % (2 * G) == 0, "dictionary size must be even"
+    seg = L // G
+    full_steps = seg // 2
+    steps = full_steps if _DICT_STEPS is None else min(_DICT_STEPS, full_steps)
+    sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    mask = (v_all == v_all) & (v_all < n)
+    if G == 1:
+        gid = jnp.zeros_like(v_all)
+    else:
+        gid = jax.lax.shift_right_logical(
+            (v_all.astype(jnp.uint32) * jnp.uint32(2654435761)),
+            jnp.uint32(32 - (G.bit_length() - 1)),
+        ).astype(jnp.int32)
+    masks = [mask & (gid == g) for g in range(G)]
+    ids = jnp.full((L, 1), _IMAX, jnp.int32)
+    for l in range(steps):
+        for g in range(G):
+            m = jnp.min(jnp.where(masks[g], v_all, _IMAX))
+            x = jnp.max(jnp.where(masks[g], v_all, -1))
+            ids = jnp.where(sub_l == g * seg + l, m, ids)
+            ids = jnp.where(
+                sub_l == (g + 1) * seg - 1 - l,
+                jnp.where(x > m, x, _IMAX),
+                ids,
+            )
+            masks[g] = masks[g] & (v_all != m) & (v_all != x)
+    left = masks[0]
+    for g in range(1, G):
+        left = left | masks[g]
+    ovf = jnp.broadcast_to(
+        jnp.any(left).astype(jnp.int32).reshape(1, 1), (L, 1)
+    )
+    return ids, ovf
+
 
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
     block: Tuple[int, int, int] = (8, 16, 128)
     # L (measured p100 = 22 on 512³ stacks). NB: the kernel's dictionary is
-    # parity-partitioned (even/odd label ids extracted independently), so a
-    # block whose distinct labels skew to one parity overflows at L/2 in
-    # that group; the rerun-larger retry doubles L — correct, but one extra
-    # compile. Dense relabeling (core/stack.py) makes segment-id parity
-    # effectively random; `engine.analyze_raw` feeds RAW label values, so a
-    # systematically skewed id set (e.g. all-even after 2× downsampling)
-    # pays that one extra compile there — correctness is unaffected.
+    # partitioned into _DICT_GROUPS hashed groups (see _dict_extract), so a
+    # block whose distinct labels skew to one hash group overflows at L/G
+    # in that group; the rerun-larger retry doubles L — correct, but one
+    # extra compile. The mixed-bit hash decorrelates the groups from
+    # structured id sets (dense relabeled AND raw label values, e.g.
+    # all-even after 2× downsampling), so skew is rare by construction.
     max_labels_per_block: int = 32
     # kp for the XLA compaction stage: one int, or a per-axis (z, y, x)
     # tuple — the three face directions have very different pair densities
@@ -220,46 +298,10 @@ def _kernel_factory(block, L, n):
         # is not ascending, which is fine: every consumer (one-hot compare,
         # pair compaction, global segment-combine, final pair sort) is
         # slot-order agnostic, so the output tables stay bit-identical.
-        # ids built [L, 1] by sublane-iota select. STATICALLY UNROLLED: a
-        # fori_loop here carries i1 masks whose Mosaic layouts disagree
-        # between loop entry and body and fail to compile.
+        # ids built [L, 1] by sublane-iota select; hashed G-group
+        # partitioned extraction (chain = L/(2G) steps, see _dict_extract).
         v_all = jnp.concatenate([v8, ex_ref[0]], axis=0)  # [8 + E8, K/8]
-        sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-        mask = (v_all == v_all) & (v_all < n)
-        ids = jnp.full((L, 1), _IMAX, jnp.int32)
-        # parity partition: even labels fill slots [0, L/2), odd labels
-        # [L/2, L) — the four reductions per step (min+max of each parity
-        # group) are mutually independent, so the serial chain is L/4
-        # dependent steps (measured ~3 ms/step at 512³: the chain, not the
-        # VPU throughput, is the kernel's cost). Overflow now fires when
-        # ONE parity group exceeds L/2 distinct labels — slightly earlier
-        # than the plain ">L distinct" rule for skewed parities (dense ids
-        # are parity-balanced in practice); the host retry doubles L either
-        # way. Slot order is irrelevant to every consumer (see below).
-        assert L % 4 == 0, "dictionary size must be 4-divisible (parity fill)"
-        half = L // 2
-        steps = L // 4 if _DICT_STEPS is None else min(_DICT_STEPS, L // 4)
-        mask_e = mask & ((v_all & 1) == 0)
-        mask_o = mask & ((v_all & 1) == 1)
-        for l in range(steps):
-            m_e = jnp.min(jnp.where(mask_e, v_all, _IMAX))
-            x_e = jnp.max(jnp.where(mask_e, v_all, -1))
-            m_o = jnp.min(jnp.where(mask_o, v_all, _IMAX))
-            x_o = jnp.max(jnp.where(mask_o, v_all, -1))
-            ids = jnp.where(sub_l == l, m_e, ids)
-            ids = jnp.where(
-                sub_l == (half - 1 - l), jnp.where(x_e > m_e, x_e, _IMAX), ids
-            )
-            ids = jnp.where(sub_l == (half + l), m_o, ids)
-            ids = jnp.where(
-                sub_l == (L - 1 - l), jnp.where(x_o > m_o, x_o, _IMAX), ids
-            )
-            mask_e = mask_e & (v_all != m_e) & (v_all != x_e)
-            mask_o = mask_o & (v_all != m_o) & (v_all != x_o)
-        ovf = jnp.broadcast_to(
-            (jnp.any(mask_e) | jnp.any(mask_o)).astype(jnp.int32).reshape(1, 1),
-            (L, 1),
-        )
+        ids, ovf = _dict_extract(v_all, L, n)
 
         def onehot(u8):
             # [8, K/8] labels -> [L, K] bf16 one-hot at FULL sublane
@@ -407,33 +449,7 @@ def _kernel_factory_v2(block, L, n):
         # out-of-block neighbor labels get slots; fill/pad labels are >= n
         # and the `< n` mask excludes them.
         v_all = jnp.concatenate([v8, ex], axis=0)  # [10, K8]
-        sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-        mask = (v_all == v_all) & (v_all < n)
-        ids = jnp.full((L, 1), _IMAX, jnp.int32)
-        assert L % 4 == 0
-        half = L // 2
-        steps = L // 4 if _DICT_STEPS is None else min(_DICT_STEPS, L // 4)
-        mask_e = mask & ((v_all & 1) == 0)
-        mask_o = mask & ((v_all & 1) == 1)
-        for l in range(steps):
-            m_e = jnp.min(jnp.where(mask_e, v_all, _IMAX))
-            x_e = jnp.max(jnp.where(mask_e, v_all, -1))
-            m_o = jnp.min(jnp.where(mask_o, v_all, _IMAX))
-            x_o = jnp.max(jnp.where(mask_o, v_all, -1))
-            ids = jnp.where(sub_l == l, m_e, ids)
-            ids = jnp.where(
-                sub_l == (half - 1 - l), jnp.where(x_e > m_e, x_e, _IMAX), ids
-            )
-            ids = jnp.where(sub_l == (half + l), m_o, ids)
-            ids = jnp.where(
-                sub_l == (L - 1 - l), jnp.where(x_o > m_o, x_o, _IMAX), ids
-            )
-            mask_e = mask_e & (v_all != m_e) & (v_all != x_e)
-            mask_o = mask_o & (v_all != m_o) & (v_all != x_o)
-        ovf = jnp.broadcast_to(
-            (jnp.any(mask_e) | jnp.any(mask_o)).astype(jnp.int32).reshape(1, 1),
-            (L, 1),
-        )
+        ids, ovf = _dict_extract(v_all, L, n)
 
         def onehot_rows(u):
             # [R, K8] labels -> list of R [L, K8] bf16 one-hot parts
