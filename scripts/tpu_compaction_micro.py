@@ -36,9 +36,7 @@ def main():
         idx = rng.choice(L * L, size=22, replace=False)
         mats[b : b + 64, idx] = rng.integers(1, 2000, size=22)
     mats = mats.reshape(B, L, L)
-    ids_np = np.sort(
-        rng.choice(n, size=(B, L), replace=False).astype(np.int32), axis=1
-    )
+    ids_np = np.sort(rng.integers(0, n, size=(B, L)).astype(np.int32), axis=1)
 
     mats_d = jax.device_put(mats)
     ids_d = jax.device_put(ids_np)

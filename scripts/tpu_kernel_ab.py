@@ -55,8 +55,11 @@ def main():
             if dense.dtype != jnp.uint16 and n <= 65535:
                 dense = dense.astype(jnp.uint16)
             padded = _pad_to_blocks(dense, n, cfg.block)
+            offs = jnp.asarray(
+                pallas_block._block_offsets_np(padded.shape, cfg.block)
+            )
             out = pallas_block._pallas_main_pass(
-                padded, cfg.block, L, n, False
+                padded, cfg.block, L, n, False, offs=offs
             )
             return out[0][0, 0] + out[4][0, 0, 0].astype(jnp.int32)
 

@@ -137,8 +137,11 @@ if __name__ == "__main__":
         if dense.dtype != jnp.uint16 and n <= 65535:
             dense = dense.astype(jnp.uint16)
         padded = _pad_to_blocks(dense, n, cfg.block)
-        ids, mom_local, bbmin, bbmax, pz, py, px, dovf = _pallas_main_pass(
-            padded, cfg.block, L, n, False
+        offs = jnp.asarray(
+            pallas_block._block_offsets_np(padded.shape, cfg.block)
+        )
+        ids, cols68, gmin, gmax, pz, py, px, dovf = _pallas_main_pass(
+            padded, cfg.block, L, n, False, offs=offs
         )
         return ids[0, 0] + pz[0, 0, 0].astype(jnp.int32)
 

@@ -28,10 +28,13 @@ exactly once:
   materialized by XLA and every block reads four input copies; moments and
   bbox ride one wide [L, K]×[K, 272] dot
 
-Downstream (pure XLA, tiny): exact global-coordinate reconstruction from
-local moments + block offsets with overflow-proof int32 splitting, then the
-same segment combine / top_k pair compaction / sort-reduce as the blocked
-engine. Outputs are bit-identical to the other engines (enforced by tests).
+Downstream (pure XLA, tiny): the same segment combine / top_k pair
+compaction / sort-reduce as the blocked engine. v2 reconstructs the exact
+global-coordinate split moment columns IN-KERNEL from scalar-prefetched
+block offsets (the XLA reconstruction stage measured ~21 ms of narrow
+elementwise passes at 512³); v1 still reconstructs in XLA
+(`_reconstruct_rows`). Outputs are bit-identical to the other engines
+(enforced by tests).
 
 Static bounds (checked): offsets·Σc_local and C·(oi·oj) pieces must fit
 int32 — holds for stacks up to ~1024³ at the default block; larger falls
@@ -136,22 +139,40 @@ def _dict_extract(v_all, L, n):
         ).astype(jnp.int32)
     masks = [mask & (gid == g) for g in range(G)]
     ids = jnp.full((L, 1), _IMAX, jnp.int32)
+    # FUSED step reductions: the per-step cost is the LATENCY of the
+    # full-array scalar reductions, not VPU throughput (measured
+    # ~2.8 ms/step at G=2 with four separate jnp.min/jnp.max calls). All
+    # 2G extremes of a step come out of ONE wide lane-reduction instead:
+    # stack [v, -v] per group along sublanes ([2G·R, K8]; min of -v ==
+    # -max of v), lane-reduce once to [2G·R, 1], then collapse each
+    # R-row band with tiny [2G·R, 1] reductions. Bit-identical slots:
+    # the per-group m/x scalars and the x > m dedupe guard are unchanged.
+    R = v_all.shape[0]
+    vpm = jnp.concatenate([s for _ in range(G) for s in (v_all, -v_all)],
+                          axis=0)  # [2G·R, K8]
+    vv = jnp.concatenate([v_all] * (2 * G), axis=0)
+    msk = jnp.concatenate([masks[g] for g in range(G) for _ in range(2)],
+                          axis=0)
+    band = jax.lax.broadcasted_iota(jnp.int32, (2 * G * R, 1), 0) // R
     for l in range(steps):
+        rowmin = jnp.min(jnp.where(msk, vpm, _IMAX), axis=1, keepdims=True)
+        mb = jnp.full((2 * G * R, 1), _IMAX, jnp.int32)
+        xb = jnp.full((2 * G * R, 1), _IMAX, jnp.int32)
         for g in range(G):
-            m = jnp.min(jnp.where(masks[g], v_all, _IMAX))
-            x = jnp.max(jnp.where(masks[g], v_all, -1))
+            m = jnp.min(jnp.where(band == 2 * g, rowmin, _IMAX))
+            x = -jnp.min(jnp.where(band == 2 * g + 1, rowmin, _IMAX))
             ids = jnp.where(sub_l == g * seg + l, m, ids)
             ids = jnp.where(
                 sub_l == (g + 1) * seg - 1 - l,
                 jnp.where(x > m, x, _IMAX),
                 ids,
             )
-            masks[g] = masks[g] & (v_all != m) & (v_all != x)
-    left = masks[0]
-    for g in range(1, G):
-        left = left | masks[g]
+            in_g = (band == 2 * g) | (band == 2 * g + 1)
+            mb = jnp.where(in_g, m, mb)
+            xb = jnp.where(in_g, x, xb)
+        msk = msk & (vv != mb) & (vv != xb)
     ovf = jnp.broadcast_to(
-        jnp.any(left).astype(jnp.int32).reshape(1, 1), (L, 1)
+        jnp.any(msk).astype(jnp.int32).reshape(1, 1), (L, 1)
     )
     return ids, ovf
 
@@ -258,6 +279,28 @@ def _packed_layout(L):
     c = 0
     for name, width in (
         ("ids", 1), ("mom", F2), ("bbmin", 3), ("bbmax", 3),
+        ("pz", L), ("py", L), ("px", L), ("ovf", 1),
+    ):
+        cols[name] = (c, c + width)
+        c += width
+    outw = -(-c // 128) * 128
+    return cols, outw
+
+
+def _packed_layout_v2(L):
+    """Column layout of kernel-v2's packed output [L, OUTW].
+
+    v2 reconstructs the global-coordinate split moment columns IN-KERNEL
+    (the XLA `_reconstruct_rows` + `_split_rows` stage measured ~21 ms at
+    512³ — narrow [B, L, 20→68] elementwise passes XLA schedules poorly;
+    in VMEM the same math is ~1 ms and the mom/bb slices disappear).
+    Columns: ids 1 | split global moment cols 68 | gmin 3 | gmax 3 |
+    pz L | py L | px L | ovf 1, padded to a 128-lane multiple.
+    """
+    cols = {}
+    c = 0
+    for name, width in (
+        ("ids", 1), ("cols68", 68), ("gmin", 3), ("gmax", 3),
         ("pz", L), ("py", L), ("px", L), ("ovf", 1),
     ):
         cols[name] = (c, c + width)
@@ -430,16 +473,20 @@ def _kernel_factory_v2(block, L, n):
     z-weighted marginals instead of the K-wide one-hot dot (the big MXU dot
     shrinks to the three face blocks, 272 → 96 RHS rows). n < 2¹⁶ keeps
     the 8-bit-split x-patch spread matvec exact under Mosaic's bf16 MXU
-    demotion. Everything else (dictionary, packed output, downstream
-    contract) matches v1 — bit-identical outputs.
+    demotion. Unlike v1, v2 also reconstructs the GLOBAL split moment
+    columns and bbox in-kernel from scalar-prefetched block offsets (see
+    `_packed_layout_v2`); the dictionary and pair contract match v1 and
+    outputs stay bit-identical to every other engine.
     """
     bz, by, bx = block
     K = bz * by * bx
     K8 = K // 8
-    cols, outw = _packed_layout(L)
-    F2 = 2 * _N_FEATS
+    cols, outw = _packed_layout_v2(L)
 
-    def kernel(v8_ref, ex_ref, wv2_ref, xsel_ref, out_ref):
+    def kernel(offs_ref, v8_ref, ex_ref, wv2_ref, xsel_ref, out_ref):
+        # offs_ref: flat [3B] scalar-prefetch (SMEM) — this block's global
+        # (z, y, x) origin, already including any traced slab z-offset
+        b = pl.program_id(0)
         v8 = v8_ref[0].astype(jnp.int32)  # [8, K8] — rows are z-planes
         ex = ex_ref[0].astype(jnp.int32)  # [2, K8] raw labels, n-filled:
         # row 0 = next-z plane [by·bx]; row 1 = next-y plane [bz·bx = 1024]
@@ -490,17 +537,44 @@ def _kernel_factory_v2(block, L, n):
         syx = col(byx, 6) + (col(byx, 7) << _WSHIFT)
         sz, szy, szx = col(bz1, 0), col(bz1, 1), col(bz1, 3)
         szz = col(bz2, 0)
-        # feature order (lo, hi) per `_packed_layout` / `_reconstruct_rows`:
-        # 1, z, z², y, y², zy, x, x², zx, yx — hi columns stay 0 (values
-        # are already assembled int32; the reconstruction computes
-        # lo + (hi << 7)). Placed by iota-select — Mosaic cannot
-        # lane-concatenate slices with heterogeneous lane offsets.
-        lane20 = jax.lax.broadcasted_iota(jnp.int32, (L, F2), 1)
-        momi = jnp.zeros((L, F2), jnp.int32)
-        for c, vec in ((0, count), (2, sz), (4, szz), (6, sy), (8, syy),
-                       (10, szy), (12, sx), (14, sxx), (16, szx), (18, syx)):
-            momi = jnp.where(
-                lane20 == c, jnp.broadcast_to(vec, (L, F2)), momi
+
+        # ---- 3b. local → GLOBAL split moment columns, in-kernel ----------
+        # Exactly `_reconstruct_rows` + `_split_rows` (see their docstrings
+        # for the int32-exactness bounds): count, global Σc (3), and per
+        # second-moment (i, j) the five pieces [S2_loc, oi·Σcj, oj·Σci,
+        # C·qlo, C·qhi], each hi/lo-split at 2^_SPLIT and interleaved —
+        # the same [·, 68] contract every combine/assemble consumer reads.
+        # All elementwise int32 VPU math on [L, 1] columns (no MXU, no
+        # bf16 demotion risk); XLA ran this over [B, L, 20→68] arrays at
+        # ~21 ms per 512³ pass, in VMEM it fuses into the kernel.
+        o = [offs_ref[3 * b], offs_ref[3 * b + 1], offs_ref[3 * b + 2]]
+        s1g = {0: sz, 1: sy, 2: sx}
+        s2g = {(0, 0): szz, (0, 1): szy, (0, 2): szx,
+               (1, 1): syy, (1, 2): syx, (2, 2): sxx}
+        qmask = (1 << _QSHIFT) - 1
+        c34 = [count]
+        for d in range(3):
+            c34.append(s1g[d] + count * o[d])
+        for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+            q = o[i] * o[j]
+            c34.extend([
+                s2g[(i, j)],
+                o[i] * s1g[j],
+                o[j] * s1g[i],
+                count * (q & qmask),
+                count * (q >> _QSHIFT),
+            ])
+        smask = (1 << _SPLIT) - 1
+        lane68 = jax.lax.broadcasted_iota(jnp.int32, (L, 68), 1)
+        cols68 = jnp.zeros((L, 68), jnp.int32)
+        for c, vec in enumerate(c34):
+            cols68 = jnp.where(
+                lane68 == 2 * c,
+                jnp.broadcast_to(vec & smask, (L, 68)), cols68
+            )
+            cols68 = jnp.where(
+                lane68 == 2 * c + 1,
+                jnp.broadcast_to(vec >> _SPLIT, (L, 68)), cols68
             )
 
         zsup = jnp.concatenate(
@@ -518,6 +592,11 @@ def _kernel_factory_v2(block, L, n):
             maxs.append(jnp.max(jnp.where(present, ii, -1), axis=1))
         bbmin = jnp.stack(mins, axis=1)
         bbmax = jnp.stack(maxs, axis=1)
+        # global bbox (same sentinel rules as `_reconstruct_rows`)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (L, 3), 1)
+        offv = jnp.where(lane3 == 0, o[0], jnp.where(lane3 == 1, o[1], o[2]))
+        gmin = jnp.where(bbmin < _IMAX, bbmin + offv, _IMAX)
+        gmax = jnp.where(bbmax >= 0, bbmax + offv, -1)
 
         # ---- 4. neighbor one-hots built from the BLOCK'S OWN one-hot
         # parts (one-hot commutes with the +1-voxel shifts) — only the
@@ -583,8 +662,8 @@ def _kernel_factory_v2(block, L, n):
         jj = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 1)
         pf = jnp.where(jj % L == ii, 0, pf)
 
-        pieces = [ids, momi, bbmin, bbmax, pf, ovf]
-        used = 8 + F2 + 3 * L
+        pieces = [ids, cols68, gmin, gmax, pf, ovf]
+        used = 1 + 68 + 3 + 3 + 3 * L + 1
         if outw > used:
             pieces.append(jnp.zeros((L, outw - used), jnp.int32))
         out_ref[0] = jnp.concatenate(pieces, axis=1)
@@ -641,38 +720,49 @@ def _extras_v2(dense, n, block):
     return ex.reshape(B, 2, K8)
 
 
-def _pallas_group_v2(vb, ex, wv2, xsel, block, L, n, interpret):
-    """One v2 pallas_call over a group of blocks."""
+def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret):
+    """One v2 pallas_call over a group of blocks.
+
+    ``offs``: [B, 3] int32 global block origins (any traced slab z-offset
+    already added) — scalar-prefetched to SMEM for the in-kernel moment
+    reconstruction. Returns GLOBAL split cols/bbox (no XLA reconstruction
+    stage): (ids, cols68, gmin, gmax, pz, py, px, dict_ovf).
+    """
     B = vb.shape[0]
     bz, by, bx = block
     K = bz * by * bx
     K8 = K // 8
     kernel = _kernel_factory_v2(block, L, n)
-    cols, outw = _packed_layout(L)
-    mat = lambda i: (i, 0, 0)  # noqa: E731
-    out = pl.pallas_call(
-        kernel,
+    cols, outw = _packed_layout_v2(L)
+    mat = lambda i, offs_ref: (i, 0, 0)  # noqa: E731
+    brd = lambda i, offs_ref: (0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B,),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
         in_specs=[
             pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, K8), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec(wv2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(xsel.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wv2.shape, brd, memory_space=pltpu.VMEM),
+            pl.BlockSpec(xsel.shape, brd, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, L, outw), mat, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         out_shape=jax.ShapeDtypeStruct((B, L, outw), jnp.int32),
         interpret=interpret,
-    )(vb.reshape(B, 8, K8), ex, wv2, xsel)
+    )(offs.reshape(-1), vb.reshape(B, 8, K8), ex, wv2, xsel)
 
     def sl(name):
         a, b = cols[name]
         return out[:, :, a:b]
 
     return (
-        sl("ids")[:, :, 0], sl("mom"), sl("bbmin"), sl("bbmax"),
+        sl("ids")[:, :, 0], sl("cols68"), sl("gmin"), sl("gmax"),
         sl("pz"), sl("py"), sl("px"), sl("ovf")[:, 0, 0] > 0,
     )
 
@@ -692,35 +782,63 @@ def _shift_fill(dense, axis, fill):
     return jnp.concatenate([moved, pad], axis=axis)
 
 
-def _pallas_main_pass(dense, block, L, n, interpret, group_blocks=8192):
+def _block_offsets_np(shape, block):
+    """[B, 3] int32 global (z, y, x) origins of every block of ``shape``
+    (block-padded), in the flat z-major block order of `_blockify`."""
+    gz, gy, gx = _grid(shape, block)
+    bz, by, bx = block
+    ozz, oyy, oxx = np.meshgrid(
+        np.arange(gz) * bz, np.arange(gy) * by, np.arange(gx) * bx,
+        indexing="ij",
+    )
+    return np.stack(
+        [ozz.reshape(-1), oyy.reshape(-1), oxx.reshape(-1)], axis=1
+    ).astype(np.int32)
+
+
+def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
+                      group_blocks=8192):
     """dense: block-padded [Z, Y, X] stack (uint16 or int32).
 
     Dispatches to kernel-v2 (default block — single stack input, in-kernel
-    neighbor construction, marginal moment dots; see `_kernel_factory_v2`)
-    or the v1 path (any block shape: blockifies three globally-shifted
-    neighbor copies alongside the stack). Both run the kernel grid in
-    `lax.map` groups so the per-group working set stays bounded at Gvoxel
-    scale. Padding blocks carry the label n (the dropped segment)."""
+    neighbor construction, marginal moment dots AND in-kernel global
+    moment/bbox reconstruction; see `_kernel_factory_v2`) or the v1 path
+    (any block shape: blockifies three globally-shifted neighbor copies
+    alongside the stack; local moments, reconstructed by the caller in
+    XLA). Both run the kernel grid in `lax.map` groups so the per-group
+    working set stays bounded at Gvoxel scale. Padding blocks carry the
+    label n (the dropped segment).
+
+    ``offs``: [B, 3] int32 global block origins, REQUIRED on the v2 path
+    (use `_v2_eligible` to know which return contract applies): v2 returns
+    (ids, cols68, gmin, gmax, pz, py, px, dovf) already global/split,
+    v1 returns (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) local."""
     bz, by, bx = block
     K = bz * by * bx
     K8 = K // 8
     if _v2_eligible(block, n):
+        if offs is None:
+            raise ValueError("offs is required on the kernel-v2 path")
         vb = _blockify(dense, block).reshape(-1, 8, K8)
         ex = _extras_v2(dense, n, block)
         wv2_np, xsel_np = _weight_table_v2(block)
         wv2 = jnp.asarray(wv2_np)
         xsel = jnp.asarray(xsel_np)
+        offs = jnp.asarray(offs, jnp.int32)
         B_total = vb.shape[0]
         group = min(group_blocks, B_total)
         if B_total <= group:
-            return _pallas_group_v2(vb, ex, wv2, xsel, block, L, n, interpret)
+            return _pallas_group_v2(
+                vb, ex, offs, wv2, xsel, block, L, n, interpret
+            )
         vb_g = _group_pad(vb, group, n)
         ex_g = _group_pad(ex, group, n)
+        offs_g = _group_pad(offs, group, 0)
 
         def run_group_v2(args):
             return _pallas_group_v2(*args, wv2, xsel, block, L, n, interpret)
 
-        outs = jax.lax.map(run_group_v2, (vb_g, ex_g))
+        outs = jax.lax.map(run_group_v2, (vb_g, ex_g, offs_g))
         flat = [o.reshape((-1,) + o.shape[2:])[:B_total] for o in outs]
         return tuple(flat)
 
@@ -893,15 +1011,7 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
     kp = cfg.max_pairs_per_block
     kps = kp if isinstance(kp, tuple) else (kp, kp, kp)
     n = n_labels
-    gz, gy, gx = _grid(slab_shape, block)
-    bz, by, bx = block
-
-    ozz, oyy, oxx = np.meshgrid(
-        np.arange(gz) * bz, np.arange(gy) * by, np.arange(gx) * bx, indexing="ij"
-    )
-    offs_np = np.stack(
-        [ozz.reshape(-1), oyy.reshape(-1), oxx.reshape(-1)], axis=1
-    ).astype(np.int32)
+    offs_np = _block_offsets_np(slab_shape, block)
 
     def slab_pass(dense_slab, z_off):
         # keep uint16 end-to-end — at 1024³ the int32 copies alone would
@@ -918,13 +1028,20 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         # neighbor arrays — the in-slab pair work is exactly these dots (no
         # seam pass); the slab's own far faces pair with the fill label n
         # and drop out, which is what the sharded cross-slab halo expects
-        (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = _pallas_main_pass(
-            dense, block, L, n, interpret
-        )
+        if _v2_eligible(block, n):
+            # v2 reconstructs global split cols + bbox in-kernel
+            (ids, cols, gmin_l, gmax_l, pz, py, px, dovf) = _pallas_main_pass(
+                dense, block, L, n, interpret, offs=offs
+            )
+        else:
+            (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = (
+                _pallas_main_pass(dense, block, L, n, interpret)
+            )
+            cols, gmin_l, gmax_l = _reconstruct_rows(
+                mom_local, bbmin, bbmax, offs
+            )
+            cols = blocked._split_rows(cols)  # [B, L, 68]
         dict_overflow = jnp.any(dovf)
-
-        cols, gmin_l, gmax_l = _reconstruct_rows(mom_local, bbmin, bbmax, offs)
-        cols = blocked._split_rows(cols)  # [B, L, 68]
         B = ids.shape[0]
 
         los, his, counts, tags = [], [], [], []
