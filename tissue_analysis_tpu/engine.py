@@ -65,10 +65,16 @@ def analyze_stack(
     if engine == "pallas":
         try:
             return analyze_stack_pallas(stack)
-        except ValueError as e:
+        except Exception as e:  # noqa: BLE001 — availability beats purity
+            # a static-precondition ValueError or a Mosaic compile/runtime
+            # failure must not take down the whole analysis when a
+            # bit-identical slower engine exists; the warning keeps the
+            # cliff visible. Direct `analyze_stack_pallas` callers (parity
+            # tests, kernel benchmarks) still see the raw error.
             warnings.warn(
-                f"pallas engine unavailable for this stack ({e}); "
-                "falling back to the blocked engine",
+                f"pallas engine unavailable for this stack "
+                f"({type(e).__name__}: {e}); falling back to the blocked "
+                "engine",
                 stacklevel=2,
             )
             engine = "blocked"

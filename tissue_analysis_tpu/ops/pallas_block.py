@@ -151,11 +151,18 @@ def _dict_extract(v_all, L, n):
     vpm = jnp.concatenate([s for _ in range(G) for s in (v_all, -v_all)],
                           axis=0)  # [2G·R, K8]
     vv = jnp.concatenate([v_all] * (2 * G), axis=0)
-    msk = jnp.concatenate([masks[g] for g in range(G) for _ in range(2)],
-                          axis=0)
+    # the live mask is carried as int32 0/1: sublane-concatenating i1
+    # arrays asks Mosaic for an unsupported vreg bitcast (i1 -> i32) and
+    # fails to compile on hardware (interpret mode accepts it)
+    msk = jnp.concatenate(
+        [jnp.where(masks[g], 1, 0) for g in range(G) for _ in range(2)],
+        axis=0,
+    )
     band = jax.lax.broadcasted_iota(jnp.int32, (2 * G * R, 1), 0) // R
     for l in range(steps):
-        rowmin = jnp.min(jnp.where(msk, vpm, _IMAX), axis=1, keepdims=True)
+        rowmin = jnp.min(
+            jnp.where(msk != 0, vpm, _IMAX), axis=1, keepdims=True
+        )
         mb = jnp.full((2 * G * R, 1), _IMAX, jnp.int32)
         xb = jnp.full((2 * G * R, 1), _IMAX, jnp.int32)
         for g in range(G):
@@ -170,9 +177,9 @@ def _dict_extract(v_all, L, n):
             in_g = (band == 2 * g) | (band == 2 * g + 1)
             mb = jnp.where(in_g, m, mb)
             xb = jnp.where(in_g, x, xb)
-        msk = msk & (vv != mb) & (vv != xb)
+        msk = jnp.where((vv != mb) & (vv != xb), msk, 0)
     ovf = jnp.broadcast_to(
-        jnp.any(msk).astype(jnp.int32).reshape(1, 1), (L, 1)
+        jnp.any(msk != 0).astype(jnp.int32).reshape(1, 1), (L, 1)
     )
     return ids, ovf
 
