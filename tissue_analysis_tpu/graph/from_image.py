@@ -67,9 +67,7 @@ def _bulk_topology(labels: Sequence[int], edge_pairs) -> PropertyGraph:
         # vectorized label→vertex mapping (vertex i = labels[i])
         lab_arr = np.asarray(labels, dtype=np.int64)
         lorder = np.argsort(lab_arr, kind="stable")
-        vpairs = lorder[
-            np.searchsorted(lab_arr[lorder], edge_pairs)
-        ].tolist()
+        vpairs = lorder[np.searchsorted(lab_arr[lorder], edge_pairs)]
         graph._bulk_fill(len(labels), vpairs)
     else:
         pairs = sorted(set(edge_pairs))

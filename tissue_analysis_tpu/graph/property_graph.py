@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Dict, Hashable, Iterable, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 __all__ = ["PropertyGraph", "TemporalPropertyGraph"]
 
 
@@ -58,13 +60,28 @@ class PropertyGraph:
         the property-graph build is host-side Python and these loops were
         a measurable slice of the 512³ pass.
         """
-        self._vertices = {v: set() for v in range(n_vertices)}
-        self._edges = dict(enumerate(map(tuple, edges)))
-        for eid, (a, b) in self._edges.items():
-            self._vertices[a].add(eid)
-            self._vertices[b].add(eid)
+        arr = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        # Python-int payloads via ONE bulk .tolist(); per-edge tuple(row)
+        # over numpy rows plus 2E set.add calls with numpy-int hashing
+        # cost ~22 ms at 512³ — grouping incidence with a vectorized sort
+        # and building each set from a list slice is C-speed throughout
+        self._edges = {
+            i: (a, b) for i, (a, b) in enumerate(arr.tolist())
+        }
+        E = arr.shape[0]
+        both_v = np.concatenate([arr[:, 0], arr[:, 1]])
+        both_e = np.concatenate([np.arange(E), np.arange(E)])
+        order = np.argsort(both_v, kind="stable")
+        sv = both_v[order]
+        se = both_e[order].tolist()
+        bounds = np.searchsorted(
+            sv, np.arange(n_vertices + 1)
+        ).tolist()
+        self._vertices = {
+            v: set(se[bounds[v]:bounds[v + 1]]) for v in range(n_vertices)
+        }
         self._next_vid = n_vertices
-        self._next_eid = len(self._edges)
+        self._next_eid = E
 
     def vertices(self) -> Iterable[int]:
         return iter(self._vertices)
