@@ -141,3 +141,21 @@ def test_extras_v2_matches_numpy():
                 assert np.array_equal(
                     xv, padded[z0:z0 + bz, y0:y0 + by, x0 + bx]
                 )
+
+
+@pytest.mark.parametrize("pack", [2, 4])
+def test_pallas_pack_bit_identical(pack):
+    """kernel-v2 block packing (PallasConfig.pack): P blocks per grid step
+    share one dictionary chain and one marginal dot, but every per-block
+    computation is unchanged — tables must be bit-identical to P=1 (and to
+    the blocked engine), including when the block count is not a multiple
+    of P (the group pads with label-n blocks)."""
+    img = voronoi_stack((24, 32, 300), 80, seed=7, voxelsize=(1.0, 0.5, 0.25))
+    a = _cmp(img, cfg=PallasConfig(pack=pack))
+    base = analyze_stack_pallas(
+        LabeledStack.from_array(np.asarray(img), background=1),
+        cfg=PallasConfig(pack=1),
+    )
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(base, f),
+                                      err_msg=f)

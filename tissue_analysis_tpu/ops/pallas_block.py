@@ -94,7 +94,7 @@ _DICT_STEPS = None
 _DICT_GROUPS = 2
 
 
-def _dict_extract(v_all, L, n):
+def _dict_extract(v_all, L, n, P: int = 1):
     """Iterative masked min/max dictionary extraction over ``v_all``.
 
     Shared by kernel v1 and v2 (bit-identical downstream contract). Labels
@@ -117,7 +117,18 @@ def _dict_extract(v_all, L, n):
     masks whose Mosaic layouts disagree between loop entry and body and
     fail to compile.
 
-    Returns (ids [L, 1] int32 with _IMAX in empty slots, ovf [L, 1]).
+    ``P`` > 1 extracts the dictionaries of P independent blocks in the
+    SAME serial chain (kernel-v2's block packing): ``v_all`` is [P·R, K8]
+    with block p in rows p·R..(p+1)·R-1, and every step extracts the
+    min/max of all P·G (block, group) bands at once — the chain is still
+    L/(2G) steps but each step serves P blocks, so the per-block latency
+    (the kernel's dominant cost, not VPU throughput) divides by P. Slot
+    values per block are EXACTLY the P=1 slots (each band's reductions
+    only see its own block's rows), so outputs stay bit-identical.
+
+    Returns (ids [P·L, 1] int32 with _IMAX in empty slots — block p in
+    rows p·L..(p+1)·L-1 — and ovf [P·L, 1], the step-global overflow
+    flag: any block overflowing triggers the same host retry).
     """
     G = _DICT_GROUPS
     # degrade for small L (overflow-path tests use L down to 4): largest
@@ -128,7 +139,9 @@ def _dict_extract(v_all, L, n):
     seg = L // G
     full_steps = seg // 2
     steps = full_steps if _DICT_STEPS is None else min(_DICT_STEPS, full_steps)
-    sub_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    R = v_all.shape[0] // P
+    vps = [v_all[p * R:(p + 1) * R] for p in range(P)]
+    sub_l = jax.lax.broadcasted_iota(jnp.int32, (P * L, 1), 0)
     mask = (v_all == v_all) & (v_all < n)
     if G == 1:
         gid = jnp.zeros_like(v_all)
@@ -138,48 +151,58 @@ def _dict_extract(v_all, L, n):
             jnp.uint32(32 - (G.bit_length() - 1)),
         ).astype(jnp.int32)
     masks = [mask & (gid == g) for g in range(G)]
-    ids = jnp.full((L, 1), _IMAX, jnp.int32)
+    ids = jnp.full((P * L, 1), _IMAX, jnp.int32)
     # FUSED step reductions: the per-step cost is the LATENCY of the
     # full-array scalar reductions, not VPU throughput (measured
     # ~2.8 ms/step at G=2 with four separate jnp.min/jnp.max calls). All
-    # 2G extremes of a step come out of ONE wide lane-reduction instead:
-    # stack [v, -v] per group along sublanes ([2G·R, K8]; min of -v ==
-    # -max of v), lane-reduce once to [2G·R, 1], then collapse each
-    # R-row band with tiny [2G·R, 1] reductions. Bit-identical slots:
-    # the per-group m/x scalars and the x > m dedupe guard are unchanged.
-    R = v_all.shape[0]
-    vpm = jnp.concatenate([s for _ in range(G) for s in (v_all, -v_all)],
-                          axis=0)  # [2G·R, K8]
-    vv = jnp.concatenate([v_all] * (2 * G), axis=0)
+    # 2G·P extremes of a step come out of ONE wide lane-reduction instead:
+    # stack [v, -v] per (block, group) along sublanes ([P·2G·R, K8]; min
+    # of -v == -max of v), lane-reduce once to [P·2G·R, 1], then collapse
+    # each R-row band with tiny reductions. Bit-identical slots: the
+    # per-band m/x scalars and the x > m dedupe guard are unchanged.
+    vpm = jnp.concatenate(
+        [s for p in range(P) for _ in range(G) for s in (vps[p], -vps[p])],
+        axis=0,
+    )  # [P·2G·R, K8]
+    vv = jnp.concatenate(
+        [vps[p] for p in range(P) for _ in range(2 * G)], axis=0
+    )
     # the live mask is carried as int32 0/1: sublane-concatenating i1
     # arrays asks Mosaic for an unsupported vreg bitcast (i1 -> i32) and
     # fails to compile on hardware (interpret mode accepts it)
     msk = jnp.concatenate(
-        [jnp.where(masks[g], 1, 0) for g in range(G) for _ in range(2)],
+        [
+            jnp.where(masks[g][p * R:(p + 1) * R], 1, 0)
+            for p in range(P)
+            for g in range(G)
+            for _ in range(2)
+        ],
         axis=0,
     )
-    band = jax.lax.broadcasted_iota(jnp.int32, (2 * G * R, 1), 0) // R
+    band = jax.lax.broadcasted_iota(jnp.int32, (P * 2 * G * R, 1), 0) // R
     for l in range(steps):
         rowmin = jnp.min(
             jnp.where(msk != 0, vpm, _IMAX), axis=1, keepdims=True
         )
-        mb = jnp.full((2 * G * R, 1), _IMAX, jnp.int32)
-        xb = jnp.full((2 * G * R, 1), _IMAX, jnp.int32)
-        for g in range(G):
-            m = jnp.min(jnp.where(band == 2 * g, rowmin, _IMAX))
-            x = -jnp.min(jnp.where(band == 2 * g + 1, rowmin, _IMAX))
-            ids = jnp.where(sub_l == g * seg + l, m, ids)
-            ids = jnp.where(
-                sub_l == (g + 1) * seg - 1 - l,
-                jnp.where(x > m, x, _IMAX),
-                ids,
-            )
-            in_g = (band == 2 * g) | (band == 2 * g + 1)
-            mb = jnp.where(in_g, m, mb)
-            xb = jnp.where(in_g, x, xb)
+        mb = jnp.full((P * 2 * G * R, 1), _IMAX, jnp.int32)
+        xb = jnp.full((P * 2 * G * R, 1), _IMAX, jnp.int32)
+        for p in range(P):
+            for g in range(G):
+                bidx = p * 2 * G + 2 * g
+                m = jnp.min(jnp.where(band == bidx, rowmin, _IMAX))
+                x = -jnp.min(jnp.where(band == bidx + 1, rowmin, _IMAX))
+                ids = jnp.where(sub_l == p * L + g * seg + l, m, ids)
+                ids = jnp.where(
+                    sub_l == p * L + (g + 1) * seg - 1 - l,
+                    jnp.where(x > m, x, _IMAX),
+                    ids,
+                )
+                in_g = (band == bidx) | (band == bidx + 1)
+                mb = jnp.where(in_g, m, mb)
+                xb = jnp.where(in_g, x, xb)
         msk = jnp.where((vv != mb) & (vv != xb), msk, 0)
     ovf = jnp.broadcast_to(
-        jnp.any(msk != 0).astype(jnp.int32).reshape(1, 1), (L, 1)
+        jnp.any(msk != 0).astype(jnp.int32).reshape(1, 1), (P * L, 1)
     )
     return ids, ovf
 
@@ -202,6 +225,12 @@ class PallasConfig:
     # from the measured p100 (`pair_nz`)
     max_pairs_per_block: object = 128
     max_pairs: int = 0
+    # kernel-v2 block packing: P consecutive blocks share ONE grid step
+    # (one dictionary-extraction chain, one packed marginal dot) — the
+    # chain's serial latency and the per-step fixed costs divide by P.
+    # Outputs are bit-identical at any P (parity-tested at P=1/2/4);
+    # hardware default pending the on-silicon A/B (see _dict_extract).
+    pack: int = 1
     seam_tile: Tuple[int, int] = (64, 256)  # bigger tiles ⇒ fewer top_k rows
     seam_max_labels: int = 64  # seam tiles span more cells than blocks
     max_pairs_per_seam_tile: int = 256
@@ -468,7 +497,7 @@ def _weight_table_v2(block):
     return out.astype(jnp.bfloat16), xsel
 
 
-def _kernel_factory_v2(block, L, n):
+def _kernel_factory_v2(block, L, n, P=1):
     """Fused kernel, v2: single stack input + compact extras.
 
     Layout preconditions (`_v2_eligible`): block == (8, 16, 128), so the
@@ -484,6 +513,16 @@ def _kernel_factory_v2(block, L, n):
     columns and bbox in-kernel from scalar-prefetched block offsets (see
     `_packed_layout_v2`); the dictionary and pair contract match v1 and
     outputs stay bit-identical to every other engine.
+
+    ``P`` packs P consecutive blocks into ONE grid step (inputs arrive
+    sublane-stacked: v8 [P·8, K8], extras [P·2, K8], output [P·L, outw]
+    with block p in rows p·L..(p+1)·L-1). Every per-block computation is
+    UNCHANGED — outputs are bit-identical to P=1 — but the serial
+    dictionary-extraction chain (the kernel's dominant latency, ~22 ms of
+    the ~52 ms grid at 512³) runs ONCE per step serving all P blocks
+    (`_dict_extract`'s packed bands), the marginal moment dot packs P
+    blocks along M (3·P·L rows against the shared weight table), and the
+    per-step fixed costs (DMA issue, grid bookkeeping) amortize P×.
     """
     bz, by, bx = block
     K = bz * by * bx
@@ -491,189 +530,220 @@ def _kernel_factory_v2(block, L, n):
     cols, outw = _packed_layout_v2(L)
 
     def kernel(offs_ref, v8_ref, ex_ref, wv2_ref, xsel_ref, out_ref):
-        # offs_ref: flat [3B] scalar-prefetch (SMEM) — this block's global
-        # (z, y, x) origin, already including any traced slab z-offset
-        b = pl.program_id(0)
-        v8 = v8_ref[0].astype(jnp.int32)  # [8, K8] — rows are z-planes
-        ex = ex_ref[0].astype(jnp.int32)  # [2, K8] raw labels, n-filled:
-        # row 0 = next-z plane [by·bx]; row 1 = next-y plane [bz·bx = 1024]
-        # then next-x plane [bz·by = 128] then n-padding
+        # offs_ref: flat [3B] scalar-prefetch (SMEM) — global (z, y, x)
+        # block origins, already including any traced slab z-offset
+        g = pl.program_id(0)
+        v8s = [
+            v8_ref[0, 8 * p:8 * (p + 1)].astype(jnp.int32) for p in range(P)
+        ]  # per block [8, K8] — rows are z-planes
+        exa = ex_ref[0].astype(jnp.int32)  # [2P, K8] raw labels, n-filled:
+        # per block, row 0 = next-z plane [by·bx]; row 1 = next-y plane
+        # [bz·bx = 1024] then next-x plane [bz·by = 128] then n-padding
 
         # ---- 1. dictionary (identical to v1): extras rows ride along so
         # out-of-block neighbor labels get slots; fill/pad labels are >= n
-        # and the `< n` mask excludes them.
-        v_all = jnp.concatenate([v8, ex], axis=0)  # [10, K8]
-        ids, ovf = _dict_extract(v_all, L, n)
+        # and the `< n` mask excludes them. All P blocks extract in ONE
+        # shared serial chain (see `_dict_extract`): ids_all [P·L, 1],
+        # block p in rows p·L..(p+1)·L-1.
+        v_all = jnp.concatenate(
+            [r for p in range(P) for r in (v8s[p], exa[2 * p:2 * (p + 1)])],
+            axis=0,
+        )  # [P·10, K8]
+        ids_all, ovf_all = _dict_extract(v_all, L, n, P)
 
-        def onehot_rows(u):
+        def onehot_rows(u, ids):
             # [R, K8] labels -> list of R [L, K8] bf16 one-hot parts
             return [
                 (u[s:s + 1, :] == ids).astype(jnp.bfloat16)
                 for s in range(u.shape[0])
             ]
 
-        # ---- 2. one-hot parts of the block (kept per z-plane) ------------
-        parts = onehot_rows(v8)
-        oh = jnp.concatenate(parts, axis=1)  # [L, K] flat K order
-
-        # ---- 3. moments + bbox via z-weighted marginals ------------------
+        # ---- 2+3 (dots). one-hot parts per block (kept per z-plane) and
+        # z-weighted marginals, all P blocks packed along M into ONE
+        # [3·P·L, K8]×[WP, K8]ᵀ dot against the shared weight table.
         # myx ≤ 8, mz1 ≤ Σs = 28, mz2 ≤ Σs² = 140 — all < 256, bf16-exact.
-        myx = parts[0]
-        mz1 = jnp.zeros_like(parts[0])
-        mz2 = jnp.zeros_like(parts[0])
-        for s in range(1, 8):
-            myx = myx + parts[s]
-            mz1 = mz1 + jnp.bfloat16(s) * parts[s]
-            mz2 = mz2 + jnp.bfloat16(s * s) * parts[s]
-        m3 = jnp.concatenate([myx, mz1, mz2], axis=0)  # [3L, K8]
-        mb = jax.lax.dot_general(
+        parts_all = []
+        m3_list = []
+        for p in range(P):
+            parts = onehot_rows(v8s[p], ids_all[L * p:L * (p + 1)])
+            myx = parts[0]
+            mz1 = jnp.zeros_like(parts[0])
+            mz2 = jnp.zeros_like(parts[0])
+            for s in range(1, 8):
+                myx = myx + parts[s]
+                mz1 = mz1 + jnp.bfloat16(s) * parts[s]
+                mz2 = mz2 + jnp.bfloat16(s * s) * parts[s]
+            parts_all.append(parts)
+            m3_list.extend([myx, mz1, mz2])
+        m3 = jnp.concatenate(m3_list, axis=0)  # [3·P·L, K8]
+        mball = jax.lax.dot_general(
             m3, wv2_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [3L, WP]: rows 0..L-1 from myx, L..2L-1 from mz1, 2L.. from mz2
-        byx = mb[:L].astype(jnp.int32)
-        bz1 = mb[L:2 * L].astype(jnp.int32)
-        bz2 = mb[2 * L:3 * L].astype(jnp.int32)
+        )  # [3·P·L, WP]: block p's myx/mz1/mz2 rows start at 3L·p
 
         def col(t, c):
             return t[:, c:c + 1]
 
-        count = col(byx, 0)
-        sy, syy = col(byx, 1), col(byx, 2)
-        sx = col(byx, 3)
-        sxx = col(byx, 4) + (col(byx, 5) << _WSHIFT)
-        syx = col(byx, 6) + (col(byx, 7) << _WSHIFT)
-        sz, szy, szx = col(bz1, 0), col(bz1, 1), col(bz1, 3)
-        szz = col(bz2, 0)
-
-        # ---- 3b. local → GLOBAL split moment columns, in-kernel ----------
-        # Exactly `_reconstruct_rows` + `_split_rows` (see their docstrings
-        # for the int32-exactness bounds): count, global Σc (3), and per
-        # second-moment (i, j) the five pieces [S2_loc, oi·Σcj, oj·Σci,
-        # C·qlo, C·qhi], each hi/lo-split at 2^_SPLIT and interleaved —
-        # the same [·, 68] contract every combine/assemble consumer reads.
-        # All elementwise int32 VPU math on [L, 1] columns (no MXU, no
-        # bf16 demotion risk); XLA ran this over [B, L, 20→68] arrays at
-        # ~21 ms per 512³ pass, in VMEM it fuses into the kernel.
-        o = [offs_ref[3 * b], offs_ref[3 * b + 1], offs_ref[3 * b + 2]]
-        s1g = {0: sz, 1: sy, 2: sx}
-        s2g = {(0, 0): szz, (0, 1): szy, (0, 2): szx,
-               (1, 1): syy, (1, 2): syx, (2, 2): sxx}
-        qmask = (1 << _QSHIFT) - 1
-        c34 = [count]
-        for d in range(3):
-            c34.append(s1g[d] + count * o[d])
-        for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
-            q = o[i] * o[j]
-            c34.extend([
-                s2g[(i, j)],
-                o[i] * s1g[j],
-                o[j] * s1g[i],
-                count * (q & qmask),
-                count * (q >> _QSHIFT),
-            ])
-        smask = (1 << _SPLIT) - 1
-        lane68 = jax.lax.broadcasted_iota(jnp.int32, (L, 68), 1)
-        cols68 = jnp.zeros((L, 68), jnp.int32)
-        for c, vec in enumerate(c34):
-            cols68 = jnp.where(
-                lane68 == 2 * c,
-                jnp.broadcast_to(vec & smask, (L, 68)), cols68
-            )
-            cols68 = jnp.where(
-                lane68 == 2 * c + 1,
-                jnp.broadcast_to(vec >> _SPLIT, (L, 68)), cols68
-            )
-
-        zsup = jnp.concatenate(
-            [jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
-             for p in parts],
-            axis=1,
-        )  # [L, bz]
-        ysup = mb[:L, 8:8 + by]
-        xsup = mb[:L, 8 + by:8 + by + bx]
-        mins, maxs = [], []
-        for supp, extent in ((zsup, bz), (ysup, by), (xsup, bx)):
-            present = supp > 0
-            ii = jax.lax.broadcasted_iota(jnp.int32, (L, extent), 1)
-            mins.append(jnp.min(jnp.where(present, ii, _IMAX), axis=1))
-            maxs.append(jnp.max(jnp.where(present, ii, -1), axis=1))
-        bbmin = jnp.stack(mins, axis=1)
-        bbmax = jnp.stack(maxs, axis=1)
-        # global bbox (same sentinel rules as `_reconstruct_rows`)
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (L, 3), 1)
-        offv = jnp.where(lane3 == 0, o[0], jnp.where(lane3 == 1, o[1], o[2]))
-        gmin = jnp.where(bbmin < _IMAX, bbmin + offv, _IMAX)
-        gmax = jnp.where(bbmax >= 0, bbmax + offv, -1)
-
-        # ---- 4. neighbor one-hots built from the BLOCK'S OWN one-hot
-        # parts (one-hot commutes with the +1-voxel shifts) — only the
-        # boundary patches need fresh compares, so the z and y neighbor
-        # one-hots cost 1 full-width + 8 narrow compares instead of 16
-        # full-width ones (~40% of the kernel's compare traffic).
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, K8), 1)
-        # z: rows 0..6 ARE parts[1..7]; row 7 is the extras next-z plane
-        ohz_extra = (ex[0:1, :] == ids).astype(jnp.bfloat16)  # [L, K8]
-        # y: +1 y = +bx lanes. The offset-bx slice is vreg-lane-aligned
-        # (bx == 128), unlike the offset-1 slice that silently mis-lowers
-        # (see vrx below) — covered by test_pallas_engine's bit-parity and
-        # the on-silicon 512³ cross-engine check.
-        ypatch = jnp.concatenate(
-            [ex[1:2, s * bx:(s + 1) * bx] for s in range(8)], axis=0
-        )  # [8, bx]
-        ypatch_oh = [
-            (ypatch[s:s + 1, :] == ids).astype(jnp.bfloat16) for s in range(8)
-        ]  # [L, bx] each
-        # x: +1 lane; x == bx-1 lanes patch from the next-x plane (extras
-        # row 1, one 128-aligned lane group per z-plane whose first `by`
-        # lanes are the values), spread to lanes j ≡ bx-1 (mod bx) by
-        # one-hot matvecs. The values are split into two 8-bit parts
-        # FIRST: Mosaic lowers f32×f32 MXU dots as single-pass bf16, so
-        # whole label values > 256 would round (observed at 512³/2031
-        # labels: sparse wrong x-neighbors + phantom pairs); parts ≤ 255
-        # are bf16-exact, and each output lane sums exactly one product.
-        xv = jnp.concatenate(
-            [ex[1:2, bz * bx + s * 128: bz * bx + (s + 1) * 128]
-             for s in range(8)],
-            axis=0,
-        )  # [8, 128]
+        lane68 = jax.lax.broadcasted_iota(jnp.int32, (L, 68), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (L, 3), 1)
+        qmask = (1 << _QSHIFT) - 1
+        smask = (1 << _SPLIT) - 1
 
-        def spread(vals):
-            return jax.lax.dot_general(
-                vals.astype(jnp.float32), xsel_ref[:, :],
-                (((1,), (0,)), ((), ())),
+        outs = []
+        for p in range(P):
+            v8 = v8s[p]
+            exz = exa[2 * p:2 * p + 1]      # next-z plane row
+            exy = exa[2 * p + 1:2 * p + 2]  # next-y | next-x | pad row
+            parts = parts_all[p]
+            ids = ids_all[L * p:L * (p + 1)]
+            oh = jnp.concatenate(parts, axis=1)  # [L, K] flat K order
+            mb = mball[3 * L * p:3 * L * (p + 1)]
+            byx = mb[:L].astype(jnp.int32)
+            bz1 = mb[L:2 * L].astype(jnp.int32)
+            bz2 = mb[2 * L:3 * L].astype(jnp.int32)
+
+            count = col(byx, 0)
+            sy, syy = col(byx, 1), col(byx, 2)
+            sx = col(byx, 3)
+            sxx = col(byx, 4) + (col(byx, 5) << _WSHIFT)
+            syx = col(byx, 6) + (col(byx, 7) << _WSHIFT)
+            sz, szy, szx = col(bz1, 0), col(bz1, 1), col(bz1, 3)
+            szz = col(bz2, 0)
+
+            # ---- 3b. local → GLOBAL split moment columns, in-kernel ----
+            # Exactly `_reconstruct_rows` + `_split_rows` (see their
+            # docstrings for the int32-exactness bounds): count, global Σc
+            # (3), and per second-moment (i, j) the five pieces [S2_loc,
+            # oi·Σcj, oj·Σci, C·qlo, C·qhi], each hi/lo-split at 2^_SPLIT
+            # and interleaved — the same [·, 68] contract every
+            # combine/assemble consumer reads. All elementwise int32 VPU
+            # math on [L, 1] columns (no MXU, no bf16 demotion risk); XLA
+            # ran this over [B, L, 20→68] arrays at ~21 ms per 512³ pass,
+            # in VMEM it fuses into the kernel.
+            b = g * P + p
+            o = [offs_ref[3 * b], offs_ref[3 * b + 1], offs_ref[3 * b + 2]]
+            s1g = {0: sz, 1: sy, 2: sx}
+            s2g = {(0, 0): szz, (0, 1): szy, (0, 2): szx,
+                   (1, 1): syy, (1, 2): syx, (2, 2): sxx}
+            c34 = [count]
+            for d in range(3):
+                c34.append(s1g[d] + count * o[d])
+            for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+                q = o[i] * o[j]
+                c34.extend([
+                    s2g[(i, j)],
+                    o[i] * s1g[j],
+                    o[j] * s1g[i],
+                    count * (q & qmask),
+                    count * (q >> _QSHIFT),
+                ])
+            cols68 = jnp.zeros((L, 68), jnp.int32)
+            for c, vec in enumerate(c34):
+                cols68 = jnp.where(
+                    lane68 == 2 * c,
+                    jnp.broadcast_to(vec & smask, (L, 68)), cols68
+                )
+                cols68 = jnp.where(
+                    lane68 == 2 * c + 1,
+                    jnp.broadcast_to(vec >> _SPLIT, (L, 68)), cols68
+                )
+
+            zsup = jnp.concatenate(
+                [jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+                 for q in parts],
+                axis=1,
+            )  # [L, bz]
+            ysup = mb[:L, 8:8 + by]
+            xsup = mb[:L, 8 + by:8 + by + bx]
+            mins, maxs = [], []
+            for supp, extent in ((zsup, bz), (ysup, by), (xsup, bx)):
+                present = supp > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, (L, extent), 1)
+                mins.append(jnp.min(jnp.where(present, ii, _IMAX), axis=1))
+                maxs.append(jnp.max(jnp.where(present, ii, -1), axis=1))
+            bbmin = jnp.stack(mins, axis=1)
+            bbmax = jnp.stack(maxs, axis=1)
+            # global bbox (same sentinel rules as `_reconstruct_rows`)
+            offv = jnp.where(
+                lane3 == 0, o[0], jnp.where(lane3 == 1, o[1], o[2])
+            )
+            gmin = jnp.where(bbmin < _IMAX, bbmin + offv, _IMAX)
+            gmax = jnp.where(bbmax >= 0, bbmax + offv, -1)
+
+            # ---- 4. neighbor one-hots built from the BLOCK'S OWN one-hot
+            # parts (one-hot commutes with the +1-voxel shifts) — only the
+            # boundary patches need fresh compares, so the z and y neighbor
+            # one-hots cost 1 full-width + 8 narrow compares instead of 16
+            # full-width ones (~40% of the kernel's compare traffic).
+            # z: rows 0..6 ARE parts[1..7]; row 7 is the extras next-z plane
+            ohz_extra = (exz == ids).astype(jnp.bfloat16)  # [L, K8]
+            # y: +1 y = +bx lanes. The offset-bx slice is vreg-lane-aligned
+            # (bx == 128), unlike the offset-1 slice that silently
+            # mis-lowers (see vrx below) — covered by test_pallas_engine's
+            # bit-parity and the on-silicon 512³ cross-engine check.
+            ypatch = jnp.concatenate(
+                [exy[:, s * bx:(s + 1) * bx] for s in range(8)], axis=0
+            )  # [8, bx]
+            ypatch_oh = [
+                (ypatch[s:s + 1, :] == ids).astype(jnp.bfloat16)
+                for s in range(8)
+            ]  # [L, bx] each
+            # x: +1 lane; x == bx-1 lanes patch from the next-x plane
+            # (extras row 1, one 128-aligned lane group per z-plane whose
+            # first `by` lanes are the values), spread to lanes
+            # j ≡ bx-1 (mod bx) by one-hot matvecs. The values are split
+            # into two 8-bit parts FIRST: Mosaic lowers f32×f32 MXU dots
+            # as single-pass bf16, so whole label values > 256 would round
+            # (observed at 512³/2031 labels: sparse wrong x-neighbors +
+            # phantom pairs); parts ≤ 255 are bf16-exact, and each output
+            # lane sums exactly one product.
+            xv = jnp.concatenate(
+                [exy[:, bz * bx + s * 128: bz * bx + (s + 1) * 128]
+                 for s in range(8)],
+                axis=0,
+            )  # [8, 128]
+
+            def spread(vals):
+                return jax.lax.dot_general(
+                    vals.astype(jnp.float32), xsel_ref[:, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+
+            xspread = spread(xv & 255) + (spread(xv >> 8) << 8)  # [8, K8]
+            # +1-lane shift via circular roll (shift K8-1 ⇒ out[j] =
+            # in[j+1]) — a lane-concat of the offset-1 slice ([:, 1:])
+            # compiles but SILENTLY mis-lowers on Mosaic (x-face counts
+            # came back wrong at 512³); the wrapped lane K8-1 has
+            # x == bx-1 and is overwritten by the patch anyway
+            xshift = pltpu.roll(v8, K8 - 1, 1)
+            vrx = jnp.where(lane % bx == bx - 1, xspread, xshift)
+
+            ohz = jnp.concatenate(parts[1:] + [ohz_extra], axis=1)  # [L, K]
+            ohy = jnp.concatenate(
+                [jnp.concatenate([parts[s][:, bx:], ypatch_oh[s]], axis=1)
+                 for s in range(8)],
+                axis=1,
+            )  # [L, K]
+            ohx = jnp.concatenate(onehot_rows(vrx, ids), axis=1)  # [L, K]
+            nb = jnp.concatenate([ohz, ohy, ohx], axis=0)  # [3L, K]
+            pf = jax.lax.dot_general(
+                oh, nb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
+            ).astype(jnp.int32)  # [L, 3L] = pz | py | px
+            ii = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 1)
+            pf = jnp.where(jj % L == ii, 0, pf)
 
-        xspread = spread(xv & 255) + (spread(xv >> 8) << 8)  # [8, K8]
-        # +1-lane shift via circular roll (shift K8-1 ⇒ out[j] = in[j+1]) —
-        # a lane-concat of the offset-1 slice ([:, 1:]) compiles but
-        # SILENTLY mis-lowers on Mosaic (x-face counts came back wrong at
-        # 512³); the wrapped lane K8-1 has x == bx-1 and is overwritten by
-        # the patch anyway
-        xshift = pltpu.roll(v8, K8 - 1, 1)
-        vrx = jnp.where(lane % bx == bx - 1, xspread, xshift)
-
-        ohz = jnp.concatenate(parts[1:] + [ohz_extra], axis=1)  # [L, K]
-        ohy = jnp.concatenate(
-            [jnp.concatenate([parts[s][:, bx:], ypatch_oh[s]], axis=1)
-             for s in range(8)],
-            axis=1,
-        )  # [L, K]
-        ohx = jnp.concatenate(onehot_rows(vrx), axis=1)  # [L, K]
-        nb = jnp.concatenate([ohz, ohy, ohx], axis=0)  # [3L, K]
-        pf = jax.lax.dot_general(
-            oh, nb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [L, 3L] = pz | py | px
-        ii = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (L, 3 * L), 1)
-        pf = jnp.where(jj % L == ii, 0, pf)
-
-        pieces = [ids, cols68, gmin, gmax, pf, ovf]
-        used = 1 + 68 + 3 + 3 + 3 * L + 1
-        if outw > used:
-            pieces.append(jnp.zeros((L, outw - used), jnp.int32))
-        out_ref[0] = jnp.concatenate(pieces, axis=1)
+            pieces = [
+                ids, cols68, gmin, gmax, pf, ovf_all[L * p:L * (p + 1)]
+            ]
+            used = 1 + 68 + 3 + 3 + 3 * L + 1
+            if outw > used:
+                pieces.append(jnp.zeros((L, outw - used), jnp.int32))
+            outs.append(jnp.concatenate(pieces, axis=1))
+        out_ref[0] = jnp.concatenate(outs, axis=0)
 
     return kernel
 
@@ -727,32 +797,51 @@ def _extras_v2(dense, n, block):
     return ex.reshape(B, 2, K8)
 
 
-def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret):
+def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret, P=1):
     """One v2 pallas_call over a group of blocks.
 
     ``offs``: [B, 3] int32 global block origins (any traced slab z-offset
     already added) — scalar-prefetched to SMEM for the in-kernel moment
     reconstruction. Returns GLOBAL split cols/bbox (no XLA reconstruction
     stage): (ids, cols68, gmin, gmax, pz, py, px, dict_ovf).
+
+    ``P`` > 1 packs P consecutive blocks per grid step (see
+    `_kernel_factory_v2`); the group is padded to a P multiple with
+    label-n blocks (empty dictionaries, zero contributions — the same
+    contract as grid-padding blocks) and the packed output unpacks back to
+    per-block rows, so results are bit-identical to P=1.
     """
     B = vb.shape[0]
     bz, by, bx = block
     K = bz * by * bx
     K8 = K // 8
-    kernel = _kernel_factory_v2(block, L, n)
+    Bp = -(-B // P) * P
+    if Bp != B:
+        vb = jnp.concatenate(
+            [vb, jnp.full((Bp - B,) + vb.shape[1:], n, vb.dtype)]
+        )
+        ex = jnp.concatenate(
+            [ex, jnp.full((Bp - B,) + ex.shape[1:], n, ex.dtype)]
+        )
+        offs = jnp.concatenate(
+            [offs, jnp.zeros((Bp - B, 3), offs.dtype)]
+        )
+    kernel = _kernel_factory_v2(block, L, n, P)
     cols, outw = _packed_layout_v2(L)
     mat = lambda i, offs_ref: (i, 0, 0)  # noqa: E731
     brd = lambda i, offs_ref: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(Bp // P,),
         in_specs=[
-            pl.BlockSpec((1, 8, K8), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * P, K8), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * P, K8), mat, memory_space=pltpu.VMEM),
             pl.BlockSpec(wv2.shape, brd, memory_space=pltpu.VMEM),
             pl.BlockSpec(xsel.shape, brd, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, outw), mat, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, L * P, outw), mat, memory_space=pltpu.VMEM
+        ),
     )
     out = pl.pallas_call(
         kernel,
@@ -760,9 +849,18 @@ def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        out_shape=jax.ShapeDtypeStruct((B, L, outw), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bp // P, L * P, outw), jnp.int32),
         interpret=interpret,
-    )(offs.reshape(-1), vb.reshape(B, 8, K8), ex, wv2, xsel)
+    )(
+        offs.reshape(-1),
+        vb.reshape(Bp // P, 8 * P, K8),
+        ex.reshape(Bp // P, 2 * P, K8),
+        wv2,
+        xsel,
+    )
+    out = out.reshape(Bp, L, outw)
+    if Bp != B:
+        out = out[:B]
 
     def sl(name):
         a, b = cols[name]
@@ -804,7 +902,7 @@ def _block_offsets_np(shape, block):
 
 
 def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
-                      group_blocks=8192):
+                      group_blocks=8192, pack=1):
     """dense: block-padded [Z, Y, X] stack (uint16 or int32).
 
     Dispatches to kernel-v2 (default block — single stack input, in-kernel
@@ -836,14 +934,16 @@ def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
         group = min(group_blocks, B_total)
         if B_total <= group:
             return _pallas_group_v2(
-                vb, ex, offs, wv2, xsel, block, L, n, interpret
+                vb, ex, offs, wv2, xsel, block, L, n, interpret, pack
             )
         vb_g = _group_pad(vb, group, n)
         ex_g = _group_pad(ex, group, n)
         offs_g = _group_pad(offs, group, 0)
 
         def run_group_v2(args):
-            return _pallas_group_v2(*args, wv2, xsel, block, L, n, interpret)
+            return _pallas_group_v2(
+                *args, wv2, xsel, block, L, n, interpret, pack
+            )
 
         outs = jax.lax.map(run_group_v2, (vb_g, ex_g, offs_g))
         flat = [o.reshape((-1,) + o.shape[2:])[:B_total] for o in outs]
@@ -1038,7 +1138,7 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         if _v2_eligible(block, n):
             # v2 reconstructs global split cols + bbox in-kernel
             (ids, cols, gmin_l, gmax_l, pz, py, px, dovf) = _pallas_main_pass(
-                dense, block, L, n, interpret, offs=offs
+                dense, block, L, n, interpret, offs=offs, pack=cfg.pack
             )
         else:
             (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = (
