@@ -27,6 +27,25 @@ __all__ = [
     "DEFAULT_PROPERTIES",
 ]
 
+def _isin_ids(a: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """`np.isin(a, values)` for nonnegative label ids.
+
+    np.isin is sort-based (~ms per call at 512³ scale); when the id range
+    is modest a boolean lookup table answers in O(len(a)) gathers. Falls
+    back to np.isin for huge/negative ids.
+    """
+    a = np.asarray(a)
+    values = np.asarray(values)
+    if a.size == 0 or values.size == 0:
+        return np.zeros(a.shape, dtype=bool)
+    vmax = int(values.max())
+    if int(values.min()) < 0 or int(a.min()) < 0 or vmax >= (1 << 22):
+        return np.isin(a, values)
+    table = np.zeros(vmax + 2, dtype=bool)
+    table[values] = True
+    return table[np.minimum(a, vmax + 1)]
+
+
 DEFAULT_PROPERTIES = (
     "volume",
     "barycenter",
@@ -185,7 +204,7 @@ def _graph_from_table_impl(
     if min_contact_area is not None:
         keep &= table.wall_areas() >= min_contact_area
     lab_arr = np.asarray(labels, dtype=np.int64)
-    keep &= np.isin(la, lab_arr) & np.isin(lb, lab_arr)
+    keep &= _isin_ids(la, lab_arr) & _isin_ids(lb, lab_arr)
     # unordered pairs, lexicographically sorted + deduped in numpy (the
     # python sorted(set(...)) over ~10⁴ tuples costs real milliseconds);
     # `inv` maps each kept COO entry to its unique-pair row = its edge id
@@ -250,11 +269,11 @@ def _graph_from_table_impl(
         graph.add_vertex_property("boundingbox", bb)
     if "border" in props:
         graph.add_vertex_property(
-            "border", dict(enumerate(np.isin(lab_q, margins_arr).tolist()))
+            "border", dict(enumerate(_isin_ids(lab_q, margins_arr).tolist()))
         )
     if "L1" in props:
         graph.add_vertex_property(
-            "L1", dict(enumerate(np.isin(lab_q, l1_arr).tolist()))
+            "L1", dict(enumerate(_isin_ids(lab_q, l1_arr).tolist()))
         )
     if "inertia_axis" in props:
         evals, evecs = table.inertia_axes(real=real)
@@ -265,7 +284,7 @@ def _graph_from_table_impl(
         )
     if "epidermis_surface" in props:
         epi = table.epidermis_wall_area()
-        in_l1 = np.isin(lab_q, l1_arr)
+        in_l1 = _isin_ids(lab_q, l1_arr)
         vidx = np.nonzero(in_l1)[0].tolist()
         vvals = epi[seg_arr[in_l1]].tolist()
         graph.add_vertex_property("epidermis_surface", dict(zip(vidx, vvals)))

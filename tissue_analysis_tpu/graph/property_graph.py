@@ -21,13 +21,41 @@ class PropertyGraph:
     """Undirected graph with vertex / edge / graph property maps."""
 
     def __init__(self):
-        self._vertices: Dict[int, set] = {}  # vid -> set of eids
-        self._edges: Dict[int, Tuple[int, int]] = {}  # eid -> (vid_a, vid_b)
+        self.__v: Dict[int, set] = {}  # vid -> set of eids
+        self.__e: Dict[int, Tuple[int, int]] = {}  # eid -> (vid_a, vid_b)
+        self.__lazy = None  # pending bulk topology: (n_vertices, [E,2] arr)
         self._vertex_properties: Dict[str, Dict[int, object]] = {}
         self._edge_properties: Dict[str, Dict[int, object]] = {}
         self._graph_properties: Dict[str, object] = {}
         self._next_vid = 0
         self._next_eid = 0
+
+    # The dict-of-sets topology view is LAZY after a `_bulk_fill`: building
+    # ~2k Python sets + ~28k int payloads costs ~20-35 ms at 512³ — a
+    # measurable slice of the whole pass — and counting/iteration/property
+    # consumers never need it. Every dict access goes through these
+    # properties, so the first access that truly needs dicts (add_vertex,
+    # neighbors, save, ...) materializes once; counts, iteration and
+    # edge_vertices answer straight from the array.
+    @property
+    def _vertices(self) -> Dict[int, set]:
+        if self.__lazy is not None:
+            self._materialize_topology()
+        return self.__v
+
+    @_vertices.setter
+    def _vertices(self, val):
+        self.__v = val
+
+    @property
+    def _edges(self) -> Dict[int, Tuple[int, int]]:
+        if self.__lazy is not None:
+            self._materialize_topology()
+        return self.__e
+
+    @_edges.setter
+    def _edges(self, val):
+        self.__e = val
 
     # ------------------------------------------------------------ topology
     def add_vertex(self, vid: Optional[int] = None) -> int:
@@ -61,11 +89,21 @@ class PropertyGraph:
         a measurable slice of the 512³ pass.
         """
         arr = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
-        # Python-int payloads via ONE bulk .tolist(); per-edge tuple(row)
-        # over numpy rows plus 2E set.add calls with numpy-int hashing
-        # cost ~22 ms at 512³ — grouping incidence with a vectorized sort
-        # and building each set from a list slice is C-speed throughout
-        self._edges = {
+        self.__lazy = (int(n_vertices), arr)
+        self._next_vid = int(n_vertices)
+        self._next_eid = int(arr.shape[0])
+
+    def _materialize_topology(self) -> None:
+        """Build the dict-of-sets view from a pending `_bulk_fill` array.
+
+        Python-int payloads via ONE bulk .tolist(); per-edge tuple(row)
+        over numpy rows plus 2E set.add calls with numpy-int hashing
+        cost ~22 ms at 512³ — grouping incidence with a vectorized sort
+        and building each set from a list slice is C-speed throughout.
+        """
+        n_vertices, arr = self.__lazy
+        self.__lazy = None
+        self.__e = {
             i: (a, b) for i, (a, b) in enumerate(arr.tolist())
         }
         E = arr.shape[0]
@@ -77,26 +115,37 @@ class PropertyGraph:
         bounds = np.searchsorted(
             sv, np.arange(n_vertices + 1)
         ).tolist()
-        self._vertices = {
+        self.__v = {
             v: set(se[bounds[v]:bounds[v + 1]]) for v in range(n_vertices)
         }
-        self._next_vid = n_vertices
-        self._next_eid = E
 
     def vertices(self) -> Iterable[int]:
-        return iter(self._vertices)
+        if self.__lazy is not None:
+            return iter(range(self.__lazy[0]))
+        return iter(self.__v)
 
     def edges(self) -> Iterable[int]:
-        return iter(self._edges)
+        if self.__lazy is not None:
+            return iter(range(self.__lazy[1].shape[0]))
+        return iter(self.__e)
 
     def nb_vertices(self) -> int:
-        return len(self._vertices)
+        if self.__lazy is not None:
+            return self.__lazy[0]
+        return len(self.__v)
 
     def nb_edges(self) -> int:
-        return len(self._edges)
+        if self.__lazy is not None:
+            return int(self.__lazy[1].shape[0])
+        return len(self.__e)
 
     def edge_vertices(self, eid: int) -> Tuple[int, int]:
-        return self._edges[eid]
+        if self.__lazy is not None:
+            arr = self.__lazy[1]
+            if isinstance(eid, (int, np.integer)) and 0 <= eid < arr.shape[0]:
+                return (int(arr[eid, 0]), int(arr[eid, 1]))
+            raise KeyError(eid)
+        return self.__e[eid]
 
     def edge_id(self, vid_a: int, vid_b: int) -> Optional[int]:
         for eid in self._vertices.get(vid_a, ()):
