@@ -111,3 +111,39 @@ def test_2d_blocked_matches_chunked():
         for f in ("count", "s1", "s2", "cmin", "cmax",
                   "pair_lo", "pair_hi", "wall_face_counts", "margin"):
             assert np.array_equal(getattr(t, f), getattr(tc, f)), f
+
+
+def test_assemble_pairs_packed_matches_unpacked():
+    """The packed readback form (unpack=False: single key + 1-element n4
+    marker) must decode to exactly the unpacked (k1, k2) result."""
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import blocked
+
+    rng = np.random.default_rng(7)
+    n = 500
+    m = 4096
+    lo = rng.integers(0, n - 1, size=m).astype(np.int32)
+    hi = (lo + rng.integers(1, 8, size=m)).clip(max=n - 1).astype(np.int32)
+    tags = rng.integers(0, 3, size=m).astype(np.int32)
+    counts = rng.integers(1, 100, size=m).astype(np.int32)
+    # sprinkle sentinel entries (IMAX) like real compaction padding
+    sent = rng.random(m) < 0.2
+    lo[sent] = np.int32(2**31 - 1)
+    hi[sent] = np.int32(2**31 - 1)
+    counts[sent] = 0
+    args = tuple(jnp.asarray(a) for a in (lo, hi, tags, counts))
+    max_entries = m
+
+    k1u, k2u, tu, nru = blocked._sorted_pair_reduce(
+        *args, max_entries, n_labels=n, unpack=True
+    )
+    k1p, k2p, tp, nrp = blocked._sorted_pair_reduce(
+        *args, max_entries, n_labels=n, unpack=False
+    )
+    assert k2p.shape == (1,) and int(k2p[0]) == 4 * n
+    assert int(nru) == int(nrp)
+    ru = blocked.assemble_pairs(*map(np.asarray, (k1u, k2u, tu)))
+    rp = blocked.assemble_pairs(*map(np.asarray, (k1p, k2p, tp)))
+    for a, b in zip(ru, rp):
+        np.testing.assert_array_equal(a, b)

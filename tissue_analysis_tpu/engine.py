@@ -128,7 +128,13 @@ def collect_stack_pallas(handle) -> FeatureTable:
     from tissue_analysis_tpu.utils import timing
 
     for _attempt in range(12):
-        # ONE batched device→host transfer (round trips cost latency)
+        # ONE batched device→host transfer (round trips cost latency). In
+        # bucket mode (n_sweep > n: series frames sharing one compilation)
+        # slice the moment rows to the live labels ON DEVICE first — the
+        # padding rows are empty by construction and readback payload is
+        # wall-clock on the relayed link.
+        if n_sweep > n:
+            out = (out[0][:n], out[1][:n], out[2][:n]) + tuple(out[3:])
         (
             table, gmin, gmax, k1, k2, total, n_runs, dict_ovf, pair_ovf,
             pair_nz,
@@ -262,6 +268,10 @@ def analyze_stack_blocked(
     for _attempt in range(12):
         with timing.stage("device sweep (blocked)", voxels):
             out, wshift = blocked.blocked_sweep(stack.dense, n_sweep, cfg)
+            if n_sweep > n:
+                # bucket mode: drop empty padding rows on device (see the
+                # pallas collect loop)
+                out = (out[0][:n], out[1][:n], out[2][:n]) + tuple(out[3:])
             # ONE batched device→host transfer: every extra round trip costs
             # full link latency on the relayed platform
             (

@@ -271,7 +271,9 @@ def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
     return lo.reshape(-1), hi.reshape(-1), count.reshape(-1), overflow, nz_max
 
 
-def _sorted_pair_reduce(los, his, tags, counts, max_entries, n_labels=None):
+def _sorted_pair_reduce(
+    los, his, tags, counts, max_entries, n_labels=None, unpack=True
+):
     """Merge (lo, hi, axis, count) entries without scatter.
 
     Pair identity is the TWO-key tuple (k1 = lo, k2 = hi·4 + axis) — a
@@ -292,6 +294,14 @@ def _sorted_pair_reduce(los, his, tags, counts, max_entries, n_labels=None):
     measured: chunked pre-reduction does NOT beat one big sort on TPU).
     Larger n takes the two-key path — no label ceiling.
     Returns (k1 [max_entries], k2 [max_entries], total [max_entries], n_runs).
+
+    ``unpack=False`` (packed branch only): skip the device-side unpack and
+    return the packed key itself as k1 with k2 = the 1-element marker
+    [4·n_labels] — `assemble_pairs` decodes it on the host. One fewer
+    [max_entries] int32 array in the device→host readback (~330 KB at the
+    512³ bench sizes; the tunneled relay moves ~40-90 MB/s, so payload is
+    wall-clock). Callers that MERGE reduced tables on device (the sharded
+    two-stage reduce) need real (k1, k2) and keep the default.
     """
     if isinstance(los, (list, tuple)):
         los = jnp.concatenate(los)
@@ -303,6 +313,8 @@ def _sorted_pair_reduce(los, his, tags, counts, max_entries, n_labels=None):
         n4 = 4 * n_labels
         packed = jnp.where(valid, los * n4 + his * 4 + tags, _IMAX)
         pk, total, n_runs = _sorted_run_reduce_single(packed, counts, max_entries)
+        if not unpack:
+            return pk, jnp.full((1,), n4, jnp.int32), total, n_runs
         live = pk < _IMAX
         k1 = jnp.where(live, pk // n4, _IMAX)
         k2 = jnp.where(live, pk % n4, _IMAX)
@@ -721,7 +733,7 @@ def _build_sweep(shape, n_labels, cfg: BlockConfig):
         ids, cols, cmin, cmax, los, his, counts, tags, dovf, povf = main(dense, 0)
         table, gmin, gmax = _global_moment_combine(ids, cols, cmin, cmax, n)
         k1, k2, total, n_runs = _sorted_pair_reduce(
-            los, his, tags, counts, max_entries, n_labels=n
+            los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
         return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
 
@@ -781,10 +793,24 @@ def assemble_pairs(
     """(sorted k1=lo, k2=hi·4+axis, totals) -> pair_lo, pair_hi, per-axis
     face counts. Sentinel entries carry k1 = IMAX and are dropped. Host
     combine uses int64 packed keys — no label-count ceiling.
+
+    Packed readback form (`_sorted_pair_reduce(..., unpack=False)`): k1 is
+    the single packed key lo·4n + hi·4 + axis and k2 is the 1-element
+    marker [4n] — decoded here; the pair order (ascending lo, hi) is
+    unchanged, so results are bit-identical to the unpacked form.
     """
+    k1 = np.asarray(k1)
+    k2 = np.asarray(k2)
+    total = np.asarray(total)
     valid = k1 < int(_IMAX)
-    lo = k1[valid].astype(np.int64)
-    rest = k2[valid].astype(np.int64)
+    if k2.shape[0] == 1 and k1.shape[0] != 1:
+        n4 = np.int64(k2[0])
+        pk = k1[valid].astype(np.int64)
+        lo = pk // n4
+        rest = pk % n4
+    else:
+        lo = k1[valid].astype(np.int64)
+        rest = k2[valid].astype(np.int64)
     hi = rest >> 2
     ax = rest & 3
     # pair order = ascending (lo, hi), matching the device sort

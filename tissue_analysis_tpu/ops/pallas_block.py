@@ -1202,7 +1202,7 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
             ids, cols, gmin_l, gmax_l, n
         )
         k1, k2, total, n_runs = _sorted_pair_reduce(
-            los, his, tags, counts, max_entries, n_labels=n
+            los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
         return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf, pair_nz
 

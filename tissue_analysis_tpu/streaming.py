@@ -194,7 +194,7 @@ def _build_program_pallas(slab_shape, n, cfg, max_entries, interpret):
             ids, cols, gmin_l, gmax_l, n
         )
         k1, k2, total, n_runs = blocked._sorted_pair_reduce(
-            los, his, tags, counts, max_entries, n_labels=n
+            los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
         last = dense_slab[-1].astype(jnp.int32)
         return (
@@ -228,7 +228,7 @@ def _build_program_blocked(slab_shape, n, cfg, wshift, max_entries):
             ids, cols, cmin, cmax, n
         )
         k1, k2, total, n_runs = blocked._sorted_pair_reduce(
-            los, his, tags, counts, max_entries, n_labels=n
+            los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
         last = jnp.pad(
             dense_slab[-1].astype(jnp.int32),
