@@ -51,9 +51,9 @@ def main():
 
     # pair run buffers: n_runs live entries (sorted packed keys), IMAX tail
     max_entries = int(1.2 * 3 * n_pairs) + 64
-    lo = np.sort(rng.integers(0, n, size=3 * n_pairs).astype(np.int64))
+    lo = np.sort(rng.integers(0, n - 1, size=3 * n_pairs).astype(np.int64))
     hi = rng.integers(0, n, size=3 * n_pairs).astype(np.int64)
-    hi = np.maximum(lo + 1, hi)
+    hi = np.minimum(np.maximum(lo + 1, hi), n - 1)
     ax = rng.integers(0, 3, size=3 * n_pairs).astype(np.int64)
     k1 = np.full(max_entries, 2**31 - 1, np.int32)
     k2 = np.full(max_entries, 2**31 - 1, np.int32)
