@@ -35,8 +35,16 @@ def test_random_fields_all_engines(seed):
         analyze_stack_blocked(stack),
         analyze_stack_pallas(stack),
     ]
+    # the ingest variants must land on the same bits as the resident
+    # relabel path — include them in the adversarial-field matrix too
+    from tissue_analysis_tpu.engine import analyze_raw
+    from tissue_analysis_tpu.streaming import analyze_streamed
+
+    tables.append(analyze_raw(img, background=1))
+    tables.append(analyze_streamed(img, background=1, slab_z=8))
     a = tables[0]
     for b in tables[1:]:
+        np.testing.assert_array_equal(a.ids, b.ids)
         for f in FIELDS:
             np.testing.assert_array_equal(getattr(a, f), getattr(b, f), f)
 
