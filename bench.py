@@ -43,6 +43,31 @@ def _get_stack(n: int, ncells: int, seed: int):
     return img
 
 
+def _tpu_alive(timeout_s: int = 150) -> bool:
+    """Probe TPU liveness in a subprocess with a hard timeout.
+
+    A wedged remote TPU worker makes `jax.devices()` hang FOREVER in-process
+    (observed: hours — CLAUDE.md platform gotchas), which would turn this
+    bench into a silent driver timeout. The subprocess watchdog turns that
+    into a recoverable False.
+    """
+    import subprocess
+
+    code = "import jax; assert jax.default_backend() != 'cpu', 'cpu'"
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     n = int(os.environ.get("BENCH_SIZE", "512"))
     ncells = int(os.environ.get("BENCH_CELLS", "3500"))
@@ -50,6 +75,26 @@ def main() -> None:
     baseline_mvox_s = 0.63  # reference semantics, 512³ (BASELINE.md)
 
     img = _get_stack(n, ncells, seed=1)
+
+    # TPU-liveness gate: a wedged worker hangs jax.devices() in-process.
+    # Retry the subprocess probe for up to BENCH_TPU_WAIT_S (default 30 min),
+    # then fall back to the CPU backend with an explicit marker so the
+    # recorded number is never silently a hang OR silently a CPU number.
+    backend_note = ""
+    wait_s = int(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
+    deadline = time.time() + wait_s
+    alive = _tpu_alive()
+    while not alive and time.time() < deadline:
+        time.sleep(60)
+        alive = _tpu_alive()
+    if not alive:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        backend_note = (
+            " [TPU worker unreachable after probe retries; CPU fallback — "
+            "NOT comparable to TPU rounds]"
+        )
 
     from tissue_analysis_tpu.core.stack import LabeledStack
     from tissue_analysis_tpu.engine import analyze_raw, analyze_stack
@@ -112,6 +157,7 @@ def main() -> None:
                 "metric": (
                     f"full feature table + adjacency graph, {n}^3 stack, "
                     f"{table.n_labels} labels / {table.n_pairs} walls"
+                    + backend_note
                 ),
                 "value": round(mvox_s, 2),
                 "unit": "Mvoxels/s/chip",
