@@ -25,8 +25,10 @@ def main():
     from tissue_analysis_tpu.ops import pallas_block
     from tissue_analysis_tpu.ops.blocked import _pad_to_blocks
 
-    with np.load(f"/tmp/ta_bench_cache/voronoi_{size}_3500_1.npz") as z:
-        img = z["img"]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _fixtures import load_voronoi
+
+    img = load_voronoi(size)
     stack = LabeledStack.from_array(img, background=1)
     np.asarray(stack.dense[0, 0, 0])
     n = stack.n_labels

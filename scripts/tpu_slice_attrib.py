@@ -15,6 +15,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/tpu_slice_attrib
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
@@ -31,8 +32,10 @@ def main():
     from tissue_analysis_tpu.ops import blocked, pallas_block
     from tissue_analysis_tpu.ops.blocked import _pad_to_blocks
 
-    with np.load("/tmp/ta_bench_cache/voronoi_512_3500_1.npz") as z:
-        img = z["img"]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _fixtures import load_voronoi
+
+    img = load_voronoi(512)
     stack = LabeledStack.from_array(img, background=1)
     np.asarray(stack.dense[0, 0, 0])
     n = stack.n_labels
