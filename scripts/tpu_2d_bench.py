@@ -41,7 +41,15 @@ def main():
         ("pallas", analyze_stack_pallas),
         ("blocked", analyze_stack_blocked),
     ):
-        fn(stack)
+        try:
+            fn(stack)
+        except ValueError as e:
+            # pallas static int32 bound (off·s1) rejects wide 2D lifts —
+            # record the skip instead of crashing (a process dying with an
+            # initialized axon backend wedges the remote worker ~20-40 min)
+            print(json.dumps({"case": f"2D {n}^2", "engine": name,
+                              "skipped": str(e)}), flush=True)
+            continue
         fn(stack)  # second warmup: converged-config compile
         times = []
         for _ in range(3):
