@@ -36,9 +36,12 @@ elementwise passes at 512³); v1 still reconstructs in XLA
 (`_reconstruct_rows`). Outputs are bit-identical to the other engines
 (enforced by tests).
 
-Static bounds (checked): offsets·Σc_local and C·(oi·oj) pieces must fit
-int32 — holds for stacks up to ~1024³ at the default block; larger falls
-back to the XLA blocked engine.
+Static bounds (checked, `_check_static_pallas`): the compact 5-piece
+reconstruction holds to ~1024 voxels per axis; beyond that the engine
+switches to the 8-piece offset-split contract (`_moment_pieces`,
+wide=True) — exact to ~46k voxels per axis within a 2^16-block budget
+(e.g. the 4096² 2D lift, 2048²-wide out-of-core slabs). Only shapes
+exceeding BOTH fall back to the XLA blocked engine.
 """
 
 from __future__ import annotations
@@ -241,30 +244,73 @@ class PallasConfig:
         return max(2048, 24 * n_labels)
 
 
-def _check_static_pallas(shape, n_labels, cfg: PallasConfig) -> None:
+def _check_static_pallas(shape, n_labels, cfg: PallasConfig) -> bool:
+    """Validate exactness preconditions; returns ``wide``.
+
+    ``wide=False``: the compact 5-piece reconstruction contract (34 moment
+    columns) is exact — requires oᵢ·s1ⱼ ≤ 2³¹ and K·(q>>Q) ≤ 2³¹, which
+    caps extents near 1024 voxels per axis. That path is kept as-is for
+    the common case: its combined table is 2/3 the readback bytes.
+
+    ``wide=True``: the 8-piece contract (52 columns) — offsets 9-bit-split
+    at _QSHIFT so every split column stays < 2³⁰, its (lo, hi) parts at
+    2^_SPLIT are < 2^15, and the global segment sum over ≤ 2^16 rows (one
+    row per block a label appears in — hence the B ≤ 2^16 bound) stays
+    int32-exact. Piece magnitudes (see `_moment_pieces`):
+      - q = oᵢ·oⱼ is computed in int32 → off_max[i]·off_max[j] ≤ 2³¹−1
+      - (oᵢ>>Q)·s1ⱼ < 2³⁰ and (oᵢ&qmask)·s1ⱼ ≤ 511·K·(b−1) < 2³⁰
+      - global Σc = s1 + C·o < 2³⁰ → K·off_max + s1_max < 2³⁰
+      - C·q_lo/q_mid ≤ K·511 < 2³⁰; C·(q>>2Q) < 2³⁰ given q ≤ 2³¹
+    This admits ~46k-voxel extents per axis (e.g. the 4096² 2D lift and
+    2048³ slabs) within the B ≤ 2^16 block budget.
+
+    Raises when even the wide bounds fail.
+    """
     bz, by, bx = cfg.block
     K = bz * by * bx
-    L = cfg.max_labels_per_block
     n = n_labels
     if n * 4 + 3 > int(_IMAX):
         raise ValueError(
             "n_labels exceeds the int32 (hi·4 + axis) sort-key space "
             "(n must be < 2^29)"
         )
-    padded = tuple(g * b for g, b in zip(_grid(shape, cfg.block), cfg.block))
+    grid = _grid(shape, cfg.block)
+    padded = tuple(g * b for g, b in zip(grid, cfg.block))
     off_max = [p - b for p, b in zip(padded, cfg.block)]
     s1_max = [K * (b - 1) for b in cfg.block]
     qmask = (1 << _QSHIFT) - 1
-    too_big = K * qmask > int(_IMAX)
+    lim30 = 1 << 30
+
+    narrow_bad = K * qmask > int(_IMAX)
     for i in range(3):
         for j in range(3):
-            too_big |= off_max[i] * s1_max[j] > int(_IMAX)
-            too_big |= K * ((off_max[i] * off_max[j]) >> _QSHIFT) > int(_IMAX)
-    if too_big:
+            narrow_bad |= off_max[i] * s1_max[j] > int(_IMAX)
+            narrow_bad |= (
+                K * ((off_max[i] * off_max[j]) >> _QSHIFT) > int(_IMAX)
+            )
+    if not narrow_bad:
+        return False
+
+    # rows-per-label segment ≤ number of blocks
+    wide_bad = grid[0] * grid[1] * grid[2] > (1 << 16)
+    wide_bad |= K * qmask >= lim30  # C·q_lo / C·q_mid pieces
+    for i in range(3):
+        wide_bad |= K * off_max[i] + s1_max[i] >= lim30  # global Σc column
+        for j in range(3):
+            wide_bad |= off_max[i] * off_max[j] > int(_IMAX)  # q in int32
+            wide_bad |= (off_max[i] >> _QSHIFT) * s1_max[j] >= lim30
+            wide_bad |= qmask * s1_max[j] >= lim30  # lo piece (static)
+            # C·(q>>2Q): guarded with q already known to fit int32
+            if off_max[i] * off_max[j] <= int(_IMAX):
+                wide_bad |= (
+                    K * ((off_max[i] * off_max[j]) >> (2 * _QSHIFT)) >= lim30
+                )
+    if wide_bad:
         raise ValueError(
             "stack too large for the Pallas engine's int32 reconstruction; "
             "use the blocked engine"
         )
+    return True
 
 
 def _weight_table(block) -> np.ndarray:
@@ -323,21 +369,73 @@ def _packed_layout(L):
     return cols, outw
 
 
-def _packed_layout_v2(L):
+def _n_mom_cols(wide: bool) -> int:
+    """count, gΣc (3), 6 second moments × (8 wide / 5 narrow) pieces."""
+    return 4 + 6 * (8 if wide else 5)
+
+
+def _moment_pieces(C, s1, s2, o, wide: bool):
+    """Global-coordinate split moment piece list — the ONE definition of
+    the reconstruction contract, shared verbatim by kernel-v2 (in-VMEM,
+    [L, 1] column operands) and the v1 XLA path (`_reconstruct_rows`,
+    [B, L] operands with [B, 1] offsets).
+
+    ``s1``/``s2``: local Σc per axis / Σcᵢcⱼ per tri-pair; ``o``: global
+    block origins. Narrow (5-piece) order per second moment (i, j):
+    [S2_loc, oᵢ·s1ⱼ, oⱼ·s1ᵢ, C·q_lo, C·q_hi] with q = oᵢ·oⱼ, assembled as
+    p₀+p₁+p₂+p₃+(p₄<<Q). Wide (8-piece): offsets 9-bit-split so every
+    piece stays < 2³⁰ up to ~46k-voxel extents (`_check_static_pallas`):
+    [S2_loc, (oᵢ&m)·s1ⱼ, (oᵢ>>Q)·s1ⱼ, (oⱼ&m)·s1ᵢ, (oⱼ>>Q)·s1ᵢ, C·q_lo,
+    C·q_mid, C·q_hi], assembled as p₀+p₁+(p₂<<Q)+p₃+(p₄<<Q)+p₅+(p₆<<Q)
+    +(p₇<<2Q).
+    """
+    qmask = (1 << _QSHIFT) - 1
+    cols = [C]
+    for d in range(3):
+        cols.append(s1[d] + C * o[d])  # global Σc_d
+    # tri_pairs(3) order: zz, zy, zx, yy, yx, xx
+    for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+        q = o[i] * o[j]
+        if wide:
+            cols.extend([
+                s2[(i, j)],
+                (o[i] & qmask) * s1[j],
+                (o[i] >> _QSHIFT) * s1[j],
+                (o[j] & qmask) * s1[i],
+                (o[j] >> _QSHIFT) * s1[i],
+                C * (q & qmask),
+                C * ((q >> _QSHIFT) & qmask),
+                C * (q >> (2 * _QSHIFT)),
+            ])
+        else:
+            cols.extend([
+                s2[(i, j)],
+                o[i] * s1[j],
+                o[j] * s1[i],
+                C * (q & qmask),
+                C * (q >> _QSHIFT),
+            ])
+    return cols
+
+
+def _packed_layout_v2(L, wide: bool = False):
     """Column layout of kernel-v2's packed output [L, OUTW].
 
     v2 reconstructs the global-coordinate split moment columns IN-KERNEL
     (the XLA `_reconstruct_rows` + `_split_rows` stage measured ~21 ms at
     512³ — narrow [B, L, 20→68] elementwise passes XLA schedules poorly;
     in VMEM the same math is ~1 ms and the mom/bb slices disappear).
-    Columns: ids 1 | split global moment cols 68 | gmin 3 | gmax 3 |
-    pz L | py L | px L | ovf 1, padded to a 128-lane multiple.
+    Columns: ids 1 | split global moment cols (68 narrow / 104 wide — see
+    `_moment_pieces`) | gmin 3 | gmax 3 | pz L | py L | px L | ovf 1,
+    padded to a 128-lane multiple (at the default L = 32 both contracts
+    pad to OUTW 256 — the wide contract is DMA-free; only the combined
+    [n, ·] readback grows).
     """
     cols = {}
     c = 0
     for name, width in (
-        ("ids", 1), ("cols68", 68), ("gmin", 3), ("gmax", 3),
-        ("pz", L), ("py", L), ("px", L), ("ovf", 1),
+        ("ids", 1), ("cols", 2 * _n_mom_cols(wide)), ("gmin", 3),
+        ("gmax", 3), ("pz", L), ("py", L), ("px", L), ("ovf", 1),
     ):
         cols[name] = (c, c + width)
         c += width
@@ -497,7 +595,7 @@ def _weight_table_v2(block):
     return out.astype(jnp.bfloat16), xsel
 
 
-def _kernel_factory_v2(block, L, n, P=1):
+def _kernel_factory_v2(block, L, n, P=1, wide=False):
     """Fused kernel, v2: single stack input + compact extras.
 
     Layout preconditions (`_v2_eligible`): block == (8, 16, 128), so the
@@ -527,7 +625,7 @@ def _kernel_factory_v2(block, L, n, P=1):
     bz, by, bx = block
     K = bz * by * bx
     K8 = K // 8
-    cols, outw = _packed_layout_v2(L)
+    cols, outw = _packed_layout_v2(L, wide)
 
     def kernel(offs_ref, v8_ref, ex_ref, wv2_ref, xsel_ref, out_ref):
         # offs_ref: flat [3B] scalar-prefetch (SMEM) — global (z, y, x)
@@ -585,9 +683,9 @@ def _kernel_factory_v2(block, L, n, P=1):
             return t[:, c:c + 1]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, K8), 1)
-        lane68 = jax.lax.broadcasted_iota(jnp.int32, (L, 68), 1)
+        ncols = 2 * _n_mom_cols(wide)
+        lanec = jax.lax.broadcasted_iota(jnp.int32, (L, ncols), 1)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (L, 3), 1)
-        qmask = (1 << _QSHIFT) - 1
         smask = (1 << _SPLIT) - 1
 
         outs = []
@@ -612,41 +710,28 @@ def _kernel_factory_v2(block, L, n, P=1):
             szz = col(bz2, 0)
 
             # ---- 3b. local → GLOBAL split moment columns, in-kernel ----
-            # Exactly `_reconstruct_rows` + `_split_rows` (see their
-            # docstrings for the int32-exactness bounds): count, global Σc
-            # (3), and per second-moment (i, j) the five pieces [S2_loc,
-            # oi·Σcj, oj·Σci, C·qlo, C·qhi], each hi/lo-split at 2^_SPLIT
-            # and interleaved — the same [·, 68] contract every
-            # combine/assemble consumer reads. All elementwise int32 VPU
-            # math on [L, 1] columns (no MXU, no bf16 demotion risk); XLA
-            # ran this over [B, L, 20→68] arrays at ~21 ms per 512³ pass,
-            # in VMEM it fuses into the kernel.
+            # `_moment_pieces` (the shared contract — see its docstring for
+            # the int32-exactness bounds per width), each piece hi/lo-split
+            # at 2^_SPLIT and interleaved — the same [·, 68/104] layout
+            # every combine/assemble consumer reads. All elementwise int32
+            # VPU math on [L, 1] columns (no MXU, no bf16 demotion risk);
+            # XLA ran this over [B, L, 20→68] arrays at ~21 ms per 512³
+            # pass, in VMEM it fuses into the kernel.
             b = g * P + p
             o = [offs_ref[3 * b], offs_ref[3 * b + 1], offs_ref[3 * b + 2]]
             s1g = {0: sz, 1: sy, 2: sx}
             s2g = {(0, 0): szz, (0, 1): szy, (0, 2): szx,
                    (1, 1): syy, (1, 2): syx, (2, 2): sxx}
-            c34 = [count]
-            for d in range(3):
-                c34.append(s1g[d] + count * o[d])
-            for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
-                q = o[i] * o[j]
-                c34.extend([
-                    s2g[(i, j)],
-                    o[i] * s1g[j],
-                    o[j] * s1g[i],
-                    count * (q & qmask),
-                    count * (q >> _QSHIFT),
-                ])
-            cols68 = jnp.zeros((L, 68), jnp.int32)
-            for c, vec in enumerate(c34):
-                cols68 = jnp.where(
-                    lane68 == 2 * c,
-                    jnp.broadcast_to(vec & smask, (L, 68)), cols68
+            cpieces = _moment_pieces(count, s1g, s2g, o, wide)
+            colsg = jnp.zeros((L, ncols), jnp.int32)
+            for c, vec in enumerate(cpieces):
+                colsg = jnp.where(
+                    lanec == 2 * c,
+                    jnp.broadcast_to(vec & smask, (L, ncols)), colsg
                 )
-                cols68 = jnp.where(
-                    lane68 == 2 * c + 1,
-                    jnp.broadcast_to(vec >> _SPLIT, (L, 68)), cols68
+                colsg = jnp.where(
+                    lanec == 2 * c + 1,
+                    jnp.broadcast_to(vec >> _SPLIT, (L, ncols)), colsg
                 )
 
             zsup = jnp.concatenate(
@@ -737,9 +822,9 @@ def _kernel_factory_v2(block, L, n, P=1):
             pf = jnp.where(jj % L == ii, 0, pf)
 
             pieces = [
-                ids, cols68, gmin, gmax, pf, ovf_all[L * p:L * (p + 1)]
+                ids, colsg, gmin, gmax, pf, ovf_all[L * p:L * (p + 1)]
             ]
-            used = 1 + 68 + 3 + 3 + 3 * L + 1
+            used = 1 + ncols + 3 + 3 + 3 * L + 1
             if outw > used:
                 pieces.append(jnp.zeros((L, outw - used), jnp.int32))
             outs.append(jnp.concatenate(pieces, axis=1))
@@ -797,13 +882,14 @@ def _extras_v2(dense, n, block):
     return ex.reshape(B, 2, K8)
 
 
-def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret, P=1):
+def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret,
+                     P=1, wide=False):
     """One v2 pallas_call over a group of blocks.
 
     ``offs``: [B, 3] int32 global block origins (any traced slab z-offset
     already added) — scalar-prefetched to SMEM for the in-kernel moment
     reconstruction. Returns GLOBAL split cols/bbox (no XLA reconstruction
-    stage): (ids, cols68, gmin, gmax, pz, py, px, dict_ovf).
+    stage): (ids, cols, gmin, gmax, pz, py, px, dict_ovf).
 
     ``P`` > 1 packs P consecutive blocks per grid step (see
     `_kernel_factory_v2`); the group is padded to a P multiple with
@@ -826,8 +912,8 @@ def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret, P=1):
         offs = jnp.concatenate(
             [offs, jnp.zeros((Bp - B, 3), offs.dtype)]
         )
-    kernel = _kernel_factory_v2(block, L, n, P)
-    cols, outw = _packed_layout_v2(L)
+    kernel = _kernel_factory_v2(block, L, n, P, wide)
+    cols, outw = _packed_layout_v2(L, wide)
     mat = lambda i, offs_ref: (i, 0, 0)  # noqa: E731
     brd = lambda i, offs_ref: (0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -867,7 +953,7 @@ def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret, P=1):
         return out[:, :, a:b]
 
     return (
-        sl("ids")[:, :, 0], sl("cols68"), sl("gmin"), sl("gmax"),
+        sl("ids")[:, :, 0], sl("cols"), sl("gmin"), sl("gmax"),
         sl("pz"), sl("py"), sl("px"), sl("ovf")[:, 0, 0] > 0,
     )
 
@@ -902,7 +988,7 @@ def _block_offsets_np(shape, block):
 
 
 def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
-                      group_blocks=8192, pack=1):
+                      group_blocks=8192, pack=1, wide=False):
     """dense: block-padded [Z, Y, X] stack (uint16 or int32).
 
     Dispatches to kernel-v2 (default block — single stack input, in-kernel
@@ -916,7 +1002,7 @@ def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
 
     ``offs``: [B, 3] int32 global block origins, REQUIRED on the v2 path
     (use `_v2_eligible` to know which return contract applies): v2 returns
-    (ids, cols68, gmin, gmax, pz, py, px, dovf) already global/split,
+    (ids, cols, gmin, gmax, pz, py, px, dovf) already global/split,
     v1 returns (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) local."""
     bz, by, bx = block
     K = bz * by * bx
@@ -934,7 +1020,7 @@ def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
         group = min(group_blocks, B_total)
         if B_total <= group:
             return _pallas_group_v2(
-                vb, ex, offs, wv2, xsel, block, L, n, interpret, pack
+                vb, ex, offs, wv2, xsel, block, L, n, interpret, pack, wide
             )
         vb_g = _group_pad(vb, group, n)
         ex_g = _group_pad(ex, group, n)
@@ -942,7 +1028,7 @@ def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
 
         def run_group_v2(args):
             return _pallas_group_v2(
-                *args, wv2, xsel, block, L, n, interpret, pack
+                *args, wv2, xsel, block, L, n, interpret, pack, wide
             )
 
         outs = jax.lax.map(run_group_v2, (vb_g, ex_g, offs_g))
@@ -1045,13 +1131,13 @@ def _pallas_group(vb, vrz, vry, vrx, ex, w, block, L, n, interpret):
     )
 
 
-def _reconstruct_rows(mom_local, bbmin, bbmax, offs):
+def _reconstruct_rows(mom_local, bbmin, bbmax, offs, wide=False):
     """Local → global-coordinate moment columns, int32-exact piecewise.
 
     mom_local: [B, L, 2F] (lo/hi pairs per local feature); offs [B, 3].
-    Output cols [B, L, 34]: count, gΣc (3), and per second-moment (i,j) the
-    five pieces [S2_loc, oi·Σcj, oj·Σci, C·qlo, C·qhi] assembled on the host
-    as Σ₁+Σ₂+Σ₃+Σ₄+(Σ₅ << _QSHIFT).
+    Output cols [B, L, 34/52]: `_moment_pieces` (the shared contract —
+    see its docstring for piece order, assembly shifts, and the
+    width-dependent exactness bounds enforced by `_check_static_pallas`).
     """
     def f(idx):
         return mom_local[..., 2 * idx] + (mom_local[..., 2 * idx + 1] << _WSHIFT)
@@ -1062,21 +1148,7 @@ def _reconstruct_rows(mom_local, bbmin, bbmax, offs):
           (2, 2): f(7), (0, 2): f(8), (1, 2): f(9)}
     o = {d: offs[:, d][:, None].astype(jnp.int32) for d in range(3)}
 
-    cols = [C]
-    for d in range(3):
-        cols.append(s1[d] + C * o[d])  # global Σc_d
-    qmask = (1 << _QSHIFT) - 1
-    # tri_pairs(3) order: zz, zy, zx, yy, yx, xx
-    for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
-        q = o[i] * o[j]
-        cols.extend([
-            s2[(i, j)],
-            o[i] * s1[j],
-            o[j] * s1[i],
-            C * (q & qmask),
-            C * (q >> _QSHIFT),
-        ])
-    cols = jnp.stack(cols, axis=-1)  # [B, L, 34]
+    cols = jnp.stack(_moment_pieces(C, s1, s2, o, wide), axis=-1)
     # absent slots keep their segment-min/max identities (IMAX / -1)
     gmin = jnp.where(bbmin < _IMAX, bbmin + offs[:, None, :], _IMAX)
     gmax = jnp.where(bbmax >= 0, bbmax + offs[:, None, :], -1)
@@ -1084,18 +1156,35 @@ def _reconstruct_rows(mom_local, bbmin, bbmax, offs):
 
 
 def assemble_moments_pallas(table: np.ndarray, gmin, gmax) -> dict:
-    """Exact int64 assembly of the split global columns ([N, 68] int32)."""
+    """Exact int64 assembly of the split global columns.
+
+    ``table``: [N, 68] (narrow 5-piece contract) or [N, 104] (wide
+    8-piece) int32 — the width names the contract (`_moment_pieces`)."""
     t = table.astype(np.int64)
-    vals = [t[:, 2 * c] + (t[:, 2 * c + 1] << _SPLIT) for c in range(34)]
+    npieces = (table.shape[1] // 2 - 4) // 6  # 5 narrow / 8 wide
+    vals = [
+        t[:, 2 * c] + (t[:, 2 * c + 1] << _SPLIT)
+        for c in range(table.shape[1] // 2)
+    ]
     count = vals[0]
     s1 = np.stack(vals[1:4], axis=1)
     s2_cols = []
     for m in range(6):
-        base = 4 + 5 * m
-        s2_cols.append(
-            vals[base] + vals[base + 1] + vals[base + 2]
-            + vals[base + 3] + (vals[base + 4] << _QSHIFT)
-        )
+        p = vals[4 + npieces * m: 4 + npieces * (m + 1)]
+        if npieces == 8:
+            # [S2_loc, oi_lo·s1j, oi_hi·s1j, oj_lo·s1i, oj_hi·s1i,
+            #  C·q_lo, C·q_mid, C·q_hi] — hi pieces shifted back up
+            s2_cols.append(
+                p[0]
+                + p[1] + (p[2] << _QSHIFT)
+                + p[3] + (p[4] << _QSHIFT)
+                + p[5] + (p[6] << _QSHIFT) + (p[7] << (2 * _QSHIFT))
+            )
+        else:
+            # [S2_loc, oi·s1j, oj·s1i, C·q_lo, C·q_hi]
+            s2_cols.append(
+                p[0] + p[1] + p[2] + p[3] + (p[4] << _QSHIFT)
+            )
     s2 = np.stack(s2_cols, axis=1)
     cmin = np.asarray(gmin, dtype=np.int64)
     cmax = np.asarray(gmax, dtype=np.int64)
@@ -1105,19 +1194,27 @@ def assemble_moments_pallas(table: np.ndarray, gmin, gmax) -> dict:
     return {"count": count, "s1": s1, "s2": s2, "cmin": cmin, "cmax": cmax}
 
 
-def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
+def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret,
+                         wide=None):
     """Per-slab pallas pass for a static slab shape (shared by the
     single-device sweep and the z-slab shard_map pipeline).
 
     Returns fn(dense_slab, z_off) -> (ids [B, L], cols [B·L, C] (split),
     gmin/gmax rows, los, his, counts, tags, dict_ovf, pair_ovf) with all z
     coordinates offset by the traced scalar z_off.
+
+    ``wide`` picks the moment-column contract (`_moment_pieces`); None
+    derives it from ``slab_shape`` — callers whose z_off exceeds the slab
+    extent (the sharded z-slab pipeline, where offsets are GLOBAL) must
+    pass the wide flag derived from the GLOBAL padded shape instead.
     """
     block = cfg.block
     L = cfg.max_labels_per_block
     kp = cfg.max_pairs_per_block
     kps = kp if isinstance(kp, tuple) else (kp, kp, kp)
     n = n_labels
+    if wide is None:
+        wide = _check_static_pallas(slab_shape, n_labels, cfg)
     offs_np = _block_offsets_np(slab_shape, block)
 
     def slab_pass(dense_slab, z_off):
@@ -1138,16 +1235,17 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
         if _v2_eligible(block, n):
             # v2 reconstructs global split cols + bbox in-kernel
             (ids, cols, gmin_l, gmax_l, pz, py, px, dovf) = _pallas_main_pass(
-                dense, block, L, n, interpret, offs=offs, pack=cfg.pack
+                dense, block, L, n, interpret, offs=offs, pack=cfg.pack,
+                wide=wide,
             )
         else:
             (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = (
                 _pallas_main_pass(dense, block, L, n, interpret)
             )
             cols, gmin_l, gmax_l = _reconstruct_rows(
-                mom_local, bbmin, bbmax, offs
+                mom_local, bbmin, bbmax, offs, wide
             )
-            cols = blocked._split_rows(cols)  # [B, L, 68]
+            cols = blocked._split_rows(cols)  # [B, L, 68/104]
         dict_overflow = jnp.any(dovf)
         B = ids.shape[0]
 
@@ -1189,9 +1287,9 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret):
 
 def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
     n = n_labels
-    _check_static_pallas(shape, n, cfg)
+    wide = _check_static_pallas(shape, n, cfg)
     max_entries = 3 * cfg.derived_max_pairs(n)
-    slab_pass = build_pallas_slab_fn(shape, n, cfg, interpret)
+    slab_pass = build_pallas_slab_fn(shape, n, cfg, interpret, wide=wide)
 
     def sweep(dense):
         (

@@ -240,12 +240,17 @@ def analyze_sharded(
 # ---------------------------------------------------------------------------
 
 
-def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries, interpret):
+def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries,
+                        interpret, wide):
     """Per-device body: pallas slab pass + ring-halo cross seam (same
     collective pattern as `_blocked_slab_kernel`)."""
     from tissue_analysis_tpu.ops import pallas_block
 
-    slab_pass = pallas_block.build_pallas_slab_fn(slab.shape, n, cfg, interpret)
+    # wide comes from the GLOBAL padded shape: this device's z offsets
+    # (me·slab_z) exceed the local slab extent
+    slab_pass = pallas_block.build_pallas_slab_fn(
+        slab.shape, n, cfg, interpret, wide=wide
+    )
     me = jax.lax.axis_index("z")
     # trailing pair_nz (the single-device kp-tightening stat) is unused
     # here: the sharded path keeps the configured kp
@@ -287,9 +292,12 @@ def _pallas_slab_kernel(slab, *, n, cfg, slab_z, n_dev, max_entries, interpret):
 
 @partial(
     jax.jit,
-    static_argnames=("n", "cfg", "slab_z", "mesh", "max_entries", "interpret"),
+    static_argnames=(
+        "n", "cfg", "slab_z", "mesh", "max_entries", "interpret", "wide"
+    ),
 )
-def _pallas_sharded_pipeline(dense, n, cfg, slab_z, mesh, max_entries, interpret):
+def _pallas_sharded_pipeline(dense, n, cfg, slab_z, mesh, max_entries,
+                             interpret, wide):
     n_dev = mesh.shape["z"]
     kernel = partial(
         _pallas_slab_kernel,
@@ -299,6 +307,7 @@ def _pallas_sharded_pipeline(dense, n, cfg, slab_z, mesh, max_entries, interpret
         n_dev=n_dev,
         max_entries=max_entries,
         interpret=interpret,
+        wide=wide,
     )
     fn = jax.shard_map(
         kernel,
@@ -346,7 +355,7 @@ def analyze_sharded_pallas(
         (zp,)
         + tuple(-(-s // b) * b for s, b in zip(stack.shape[1:], cfg.block[1:]))
     )
-    pallas_block._check_static_pallas(padded_global, n, cfg)
+    wide = pallas_block._check_static_pallas(padded_global, n, cfg)
 
     # keep the stack's own dtype (uint16 when n fits) through device_put:
     # upcasting first doubles the host→device transfer for no benefit
@@ -359,7 +368,7 @@ def analyze_sharded_pallas(
     for _attempt in range(12):
         max_entries = 3 * cfg.derived_max_pairs(n)
         out = _pallas_sharded_pipeline(
-            dense, n, cfg, slab_z, mesh, max_entries, interpret
+            dense, n, cfg, slab_z, mesh, max_entries, interpret, wide
         )
         (
             table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
