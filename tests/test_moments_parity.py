@@ -89,3 +89,34 @@ def test_find_objects_one_indexed_none_semantics():
     objs = nd.find_objects(img)
     assert len(objs) == 3 and objs[1] is None
     assert objs[0] == (slice(0, 1), slice(0, 1))
+
+
+def test_eigh3_analytic_matches_lapack():
+    """The analytic batched 3x3 eigensolver (finalize._eigh3) must satisfy the
+    np.linalg.eigh contract at machine precision for every regime the
+    inertia-tensor path can produce: generic SPD, anisotropic voxel scales,
+    exactly/near-degenerate spectra, zero rows, and extreme magnitudes."""
+    from tissue_analysis_tpu.features.finalize import _eigh3
+
+    rng = np.random.default_rng(7)
+    m = 2000
+    X = rng.normal(size=(m, 30, 3)) * np.array([1e-3, 1.0, 1e2])
+    spd = np.einsum("kni,knj->kij", X, X) / 30
+    w0 = np.stack([np.ones(m), np.ones(m), 2 * np.ones(m)], axis=1)
+    Q, _ = np.linalg.qr(rng.normal(size=(m, 3, 3)))
+    degen = np.einsum("kia,ka,kja->kij", Q, w0, Q)
+    sym = rng.normal(size=(m, 3, 3))
+    sym = (sym + sym.transpose(0, 2, 1)) / 2
+    for A in (spd, degen, sym, np.zeros((8, 3, 3)), degen * 1e150, spd * 1e-150):
+        w, V = _eigh3(A.copy())
+        scale = max(np.abs(A).max(), 1e-300)
+        # eigenvalues ascending, matching LAPACK to machine precision
+        assert np.all(np.diff(w, axis=1) >= -1e-12 * scale)
+        # eigenvalue error is absolute in ||A|| (perturbation theory) — tiny
+        # eigenvalues of ill-conditioned matrices carry no relative accuracy
+        np.testing.assert_allclose(w, np.linalg.eigvalsh(A), rtol=0, atol=1e-10 * scale)
+        # columns orthonormal, residual |A v - w v| at machine precision
+        orth = np.einsum("kia,kib->kab", V, V)
+        np.testing.assert_allclose(orth, np.broadcast_to(np.eye(3), orth.shape), atol=1e-12)
+        res = np.einsum("kij,kja->kia", A, V) - w[:, None, :] * V
+        assert np.abs(res).max() <= 1e-12 * scale

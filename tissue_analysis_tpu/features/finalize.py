@@ -107,6 +107,81 @@ def covariance(count, s1, s2, voxelsize=None) -> np.ndarray:
     return cov
 
 
+def _eigh3(A: np.ndarray):
+    """Batched symmetric 3×3 eigendecomposition, analytic fast path.
+
+    Same contract as ``np.linalg.eigh`` on [m, 3, 3]: eigenvalues
+    ascending, ``V[k, :, a]`` the unit eigenvector of ``w[k, a]`` (sign
+    arbitrary — callers canonicalize). LAPACK's batched path loops a
+    per-matrix ``dsyevd`` call (~2.6 µs each — 6.6 ms for the 3.5k-label
+    512³ graph export, the single largest property cost); the analytic
+    route is whole-batch numpy: trigonometric eigenvalues (Cardano) and
+    cross-product eigenvectors for the two extreme eigenvalues, the middle
+    one as their cross product. Rows where that is ill-conditioned —
+    eigenvalue gap < 1e-5 of the matrix scale, or a degenerate cross
+    product — are recomputed with ``np.linalg.eigh`` (exactly the
+    near-spherical cells where LAPACK's subspace handling matters).
+    """
+    m = A.shape[0]
+    eye = np.eye(3, dtype=np.float64)
+    # Per-row magnitude normalization: keeps the cross products below
+    # overflow for any input scale (entries ~1e150 would square to inf).
+    mag = np.abs(A).max(axis=(1, 2))
+    mags = np.where(mag > 0, mag, 1.0)
+    A = A / mags[:, None, None]
+    q = (A[:, 0, 0] + A[:, 1, 1] + A[:, 2, 2]) / 3.0
+    B = A - q[:, None, None] * eye
+    p = np.sqrt((B * B).sum(axis=(1, 2)) / 6.0)
+    ps = np.where(p > 0, p, 1.0)
+    Bn = B / ps[:, None, None]
+    det = (
+        Bn[:, 0, 0] * (Bn[:, 1, 1] * Bn[:, 2, 2] - Bn[:, 1, 2] ** 2)
+        - Bn[:, 0, 1] * (Bn[:, 0, 1] * Bn[:, 2, 2] - Bn[:, 1, 2] * Bn[:, 0, 2])
+        + Bn[:, 0, 2] * (Bn[:, 0, 1] * Bn[:, 1, 2] - Bn[:, 1, 1] * Bn[:, 0, 2])
+    )
+    phi = np.arccos(np.clip(det / 2.0, -1.0, 1.0)) / 3.0
+    w2 = q + 2.0 * p * np.cos(phi)
+    w0 = q + 2.0 * p * np.cos(phi + 2.0 * np.pi / 3.0)
+    w1 = 3.0 * q - w2 - w0
+    w = np.stack([w0, w1, w2], axis=1)  # ascending by construction
+
+    def _evec(lam):
+        M = A - lam[:, None, None] * eye
+        C = np.stack(
+            [
+                np.cross(M[:, 1], M[:, 2]),
+                np.cross(M[:, 2], M[:, 0]),
+                np.cross(M[:, 0], M[:, 1]),
+            ],
+            axis=1,
+        )
+        nsq = (C * C).sum(axis=2)
+        pick = nsq.argmax(axis=1)
+        v = np.take_along_axis(C, pick[:, None, None], axis=1)[:, 0]
+        nrm = np.sqrt((v * v).sum(axis=1))
+        return v / np.where(nrm > 0, nrm, 1.0)[:, None], nrm
+
+    v0, n0 = _evec(w0)
+    v2, n2 = _evec(w2)
+    v1 = np.cross(v2, v0)
+    n1 = np.sqrt((v1 * v1).sum(axis=1))
+    v1 = v1 / np.where(n1 > 0, n1, 1.0)[:, None]
+    V = np.stack([v0, v1, v2], axis=2)
+
+    scale = np.maximum(np.abs(w).max(axis=1), 1e-300)
+    gap = np.minimum(w1 - w0, w2 - w1)
+    bad = (
+        (gap <= 1e-5 * scale)
+        | (n0 == 0)
+        | (n2 == 0)
+        | (n1 < 0.5)  # v0 ⊥ v2 failed → extreme vectors unreliable
+        | ~np.isfinite(w).all(axis=1)
+    )
+    if np.any(bad):
+        w[bad], V[bad] = np.linalg.eigh(A[bad])
+    return w * mags[:, None], V
+
+
 def inertia_axes(
     count, s1, s2, voxelsize=None
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -123,7 +198,10 @@ def inertia_axes(
     evecs = np.full((n, d, d), np.nan)
     ok = count > 0
     if np.any(ok):
-        w, v = np.linalg.eigh(cov[ok])  # ascending
+        if d == 3:
+            w, v = _eigh3(cov[ok])  # ascending
+        else:
+            w, v = np.linalg.eigh(cov[ok])  # ascending
         w = w[:, ::-1]
         v = v[:, :, ::-1]  # columns reordered to descending
         v = np.swapaxes(v, 1, 2)  # rows = axes
