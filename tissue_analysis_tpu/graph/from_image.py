@@ -83,10 +83,17 @@ def _bulk_topology(labels: Sequence[int], edge_pairs) -> PropertyGraph:
                     "_bulk_topology: ndarray edge_pairs must be "
                     "lexicographically sorted and unique"
                 )
-        # vectorized label→vertex mapping (vertex i = labels[i])
+        # vectorized label→vertex mapping (vertex i = labels[i]); bounded
+        # nonnegative label spaces take an O(1)-gather lookup table — the
+        # binary-search mapping costs ~2 ms per export at bench scale
         lab_arr = np.asarray(labels, dtype=np.int64)
-        lorder = np.argsort(lab_arr, kind="stable")
-        vpairs = lorder[np.searchsorted(lab_arr[lorder], edge_pairs)]
+        if lab_arr.size and lab_arr.min() >= 0 and lab_arr.max() < (1 << 22):
+            lut = np.zeros(int(lab_arr.max()) + 1, dtype=np.int64)
+            lut[lab_arr] = np.arange(lab_arr.size)
+            vpairs = lut[edge_pairs]
+        else:
+            lorder = np.argsort(lab_arr, kind="stable")
+            vpairs = lorder[np.searchsorted(lab_arr[lorder], edge_pairs)]
         graph._bulk_fill(len(labels), vpairs)
     else:
         pairs = sorted(set(edge_pairs))
@@ -210,17 +217,33 @@ def _graph_from_table_impl(
     # `inv` maps each kept COO entry to its unique-pair row = its edge id
     amin = np.minimum(la[keep], lb[keep]).astype(np.int64)
     amax = np.maximum(la[keep], lb[keep]).astype(np.int64)
-    order = np.lexsort((amax, amin))
-    ps, pl = amin[order], amax[order]
-    if ps.shape[0]:
-        new = np.empty(ps.shape[0], dtype=bool)
-        new[0] = True
-        new[1:] = (ps[1:] != ps[:-1]) | (pl[1:] != pl[:-1])
+    # The device COO arrives lexicographically sorted and unique in segment
+    # space; a monotone segment→label map preserves that. The standard ids
+    # convention is monotone except the background swap at segment 0 —
+    # whose pairs the `keep` filter drops — so in practice the kept pairs
+    # are already sorted+unique: detect it (two diffs) and skip the
+    # lexsort/dedup, which costs ~3 ms per export at bench scale.
+    if amin.shape[0] > 1:
+        d0 = np.diff(amin)
+        d1 = np.diff(amax)
+        presorted = bool(np.all((d0 > 0) | ((d0 == 0) & (d1 > 0))))
     else:
-        new = np.zeros(0, dtype=bool)
-    uniq = np.stack([ps[new], pl[new]], axis=1)
-    inv = np.empty(ps.shape[0], dtype=np.int64)
-    inv[order] = np.cumsum(new) - 1
+        presorted = True
+    if presorted:
+        uniq = np.stack([amin, amax], axis=1)
+        inv = np.arange(amin.shape[0], dtype=np.int64)
+    else:
+        order = np.lexsort((amax, amin))
+        ps, pl = amin[order], amax[order]
+        if ps.shape[0]:
+            new = np.empty(ps.shape[0], dtype=bool)
+            new[0] = True
+            new[1:] = (ps[1:] != ps[:-1]) | (pl[1:] != pl[:-1])
+        else:
+            new = np.zeros(0, dtype=bool)
+        uniq = np.stack([ps[new], pl[new]], axis=1)
+        inv = np.empty(ps.shape[0], dtype=np.int64)
+        inv[order] = np.cumsum(new) - 1
     graph = _bulk_topology(labels, uniq)
     label2vertex = graph.graph_property("label2vertex")
 
@@ -231,15 +254,33 @@ def _graph_from_table_impl(
     # no per-label Python loop survives at 10⁵-label scale (VERDICT r2
     # weak #1). Segment lookup is one argsort+searchsorted gather.
     lab_q = np.asarray(labels, dtype=np.int64)
-    ids_order = np.argsort(table.ids, kind="stable")
-    ids_sorted_all = table.ids[ids_order]
-    pos = np.searchsorted(ids_sorted_all, lab_q)
-    if lab_q.size:
-        pos_c = np.minimum(pos, ids_sorted_all.shape[0] - 1)
-        if not np.all(ids_sorted_all[pos_c] == lab_q):
-            missing = lab_q[ids_sorted_all[pos_c] != lab_q]
+    ids_all = np.asarray(table.ids)
+    if (
+        lab_q.size
+        and ids_all.size
+        and lab_q.min() >= 0
+        and ids_all.min() >= 0
+        and ids_all.max() < (1 << 22)
+    ):
+        # O(1)-gather segment lookup with a -1 sentinel for absent labels
+        lut = np.full(int(ids_all.max()) + 2, -1, dtype=np.int64)
+        lut[ids_all] = np.arange(ids_all.shape[0])
+        seg_arr = lut[np.minimum(lab_q, ids_all.max() + 1)]
+        if np.any(seg_arr < 0):
+            missing = lab_q[seg_arr < 0]
             raise KeyError(f"labels not present in table: {missing[:10].tolist()}")
-    seg_arr = ids_order[pos]
+    else:
+        ids_order = np.argsort(ids_all, kind="stable")
+        ids_sorted_all = ids_all[ids_order]
+        pos = np.searchsorted(ids_sorted_all, lab_q)
+        if lab_q.size:
+            pos_c = np.minimum(pos, ids_sorted_all.shape[0] - 1)
+            if not np.all(ids_sorted_all[pos_c] == lab_q):
+                missing = lab_q[ids_sorted_all[pos_c] != lab_q]
+                raise KeyError(
+                    f"labels not present in table: {missing[:10].tolist()}"
+                )
+        seg_arr = ids_order[pos]
     seg_list = seg_arr.tolist()
     l1_arr = np.asarray(table.l1_labels(), dtype=np.int64)
     margins_arr = np.asarray(table.margin_labels(), dtype=np.int64)
@@ -295,9 +336,13 @@ def _graph_from_table_impl(
             else table.wall_voxel_face_totals()
         )
         # accumulate per unique unordered pair (eid i == uniq row i by
-        # _bulk_topology's contract), vectorized
-        sums = np.zeros(uniq.shape[0], dtype=vals.dtype)
-        np.add.at(sums, inv, vals[keep])
+        # _bulk_topology's contract), vectorized; on the presorted path inv
+        # is the identity and np.add.at (slow buffered scatter) is skipped
+        if presorted:
+            sums = np.ascontiguousarray(vals[keep])
+        else:
+            sums = np.zeros(uniq.shape[0], dtype=vals.dtype)
+            np.add.at(sums, inv, vals[keep])
         wall_prop = graph.add_edge_property("wall_surface")
         if real:
             wall_prop.update(enumerate(sums.astype(np.float64).tolist()))
