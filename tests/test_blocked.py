@@ -147,3 +147,70 @@ def test_assemble_pairs_packed_matches_unpacked():
     rp = blocked.assemble_pairs(*map(np.asarray, (k1p, k2p, tp)))
     for a, b in zip(ru, rp):
         np.testing.assert_array_equal(a, b)
+
+
+def test_entry_cap_compaction_bit_identical():
+    """The pre-sort live-entry compaction (entry_cap > 0) must produce the
+    exact same reduced pair table as the uncapped path, and n_live must
+    count live entries exactly (even when the cap overflows)."""
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import blocked
+
+    rng = np.random.default_rng(11)
+    n = 300
+    m = 10000
+    lo = rng.integers(0, n - 1, size=m).astype(np.int32)
+    hi = (lo + rng.integers(1, 6, size=m)).clip(max=n - 1).astype(np.int32)
+    tags = rng.integers(0, 3, size=m).astype(np.int32)
+    counts = rng.integers(1, 50, size=m).astype(np.int32)
+    sent = rng.random(m) < 0.85  # realistic: mostly sentinel padding
+    lo[sent] = np.int32(2**31 - 1)
+    hi[sent] = np.int32(2**31 - 1)
+    counts[sent] = 0
+    n_live_true = int((~sent).sum())
+    args = tuple(jnp.asarray(a) for a in (lo, hi, tags, counts))
+    max_entries = m
+
+    ref = blocked._sorted_pair_reduce(
+        *args, max_entries, n_labels=n, unpack=False,
+        return_live=True,
+    )
+    assert int(ref[4]) == n_live_true and not bool(ref[5])
+
+    cap = (n_live_true // 256 + 2) * 256
+    got = blocked._sorted_pair_reduce(
+        *args, max_entries, n_labels=n, unpack=False,
+        entry_cap=cap, return_live=True,
+    )
+    assert int(got[4]) == n_live_true and not bool(got[5])
+    for a, b in zip(ref[:3], got[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # overflowing cap: n_live still exact, overflow flag fires
+    ovf = blocked._sorted_pair_reduce(
+        *args, max_entries, n_labels=n, unpack=False,
+        entry_cap=256, return_live=True,
+    )
+    assert int(ovf[4]) == n_live_true and bool(ovf[5])
+
+
+def test_engine_entry_cap_convergence_bit_identical():
+    """Second engine run (with the converged entry_cap in _GOOD_CFG) must
+    be bit-identical to the first (uncapped) run."""
+    from tissue_analysis_tpu import engine
+    from tissue_analysis_tpu.core.stack import LabeledStack
+    from tissue_analysis_tpu.core.synthetic import voronoi_stack
+
+    img = np.asarray(voronoi_stack((24, 32, 40), 60, seed=3))
+    stack = LabeledStack.from_array(img, background=1)
+    key = ("pallas", stack.shape, stack.n_labels)
+    engine._GOOD_CFG.pop(key, None)
+    t1 = engine.analyze_stack_pallas(stack)
+    good = engine._GOOD_CFG.get(key)
+    t2 = engine.analyze_stack_pallas(stack)
+    if good is not None and good.entry_cap:
+        assert engine._GOOD_CFG[key].entry_cap > 0
+    for f in ("count", "s1", "s2", "cmin", "cmax",
+              "pair_lo", "pair_hi", "wall_face_counts", "margin"):
+        np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f))

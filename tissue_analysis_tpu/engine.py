@@ -137,7 +137,7 @@ def collect_stack_pallas(handle) -> FeatureTable:
             out = (out[0][:n], out[1][:n], out[2][:n]) + tuple(out[3:])
         (
             table, gmin, gmax, k1, k2, total, n_runs, dict_ovf, pair_ovf,
-            pair_nz,
+            pair_nz, n_live, cap_ovf,
         ) = jax.device_get(out)
         n_runs = int(n_runs)
         retry = None
@@ -156,6 +156,13 @@ def collect_stack_pallas(handle) -> FeatureTable:
                 cfg,
                 max_pairs_per_block=kp,
                 max_pairs_per_seam_tile=cfg.max_pairs_per_seam_tile * 4,
+            )
+        elif bool(cap_ovf):
+            # live entries were DROPPED by the pre-sort compaction — the
+            # tables are incomplete; reopen the cap (the measured n_live is
+            # a lower bound: entries past a full compaction row may exist)
+            retry = dataclasses.replace(
+                cfg, entry_cap=max(cfg.entry_cap * 4, int(n_live) * 2)
             )
         elif n_runs > 3 * cfg.derived_max_pairs(n_sweep):
             retry = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
@@ -186,6 +193,23 @@ def collect_stack_pallas(handle) -> FeatureTable:
             )
             if tight != cur:
                 good = dataclasses.replace(good, max_pairs_per_block=tight)
+            # converge the pre-sort live-entry cap (global sort input size)
+            # from the measured live count — n_live is exact even when the
+            # cap overflowed (the compaction counts before truncating).
+            # 1.25× + 64 headroom, multiple of 256; the cap-overflow retry
+            # reopens it if a denser later frame exceeds it. Packed-key
+            # path only (the two-key path has no compaction), and only
+            # when it shrinks the sort input ≥2× (a recompile must buy
+            # something).
+            kpt = good.max_pairs_per_block
+            kpt = kpt if isinstance(kpt, tuple) else (kpt,) * 3
+            blocks = int(
+                np.prod([-(-s // b) for s, b in zip(stack.shape, cfg.block)])
+            )
+            stream = blocks * sum(kpt)
+            cap = (int(n_live) * 5 // 4 + 64 + 255) // 256 * 256
+            if 4 * n_sweep * n_sweep < 2**31 and cap * 2 <= stream:
+                good = dataclasses.replace(good, entry_cap=cap)
             _GOOD_CFG[cfg_key] = good
         with timing.stage("readback + host assemble"):
             moments = pallas_block.assemble_moments_pallas(

@@ -272,7 +272,8 @@ def _compact_pair_mats(mats, row_ids, col_ids, n_labels, kp):
 
 
 def _sorted_pair_reduce(
-    los, his, tags, counts, max_entries, n_labels=None, unpack=True
+    los, his, tags, counts, max_entries, n_labels=None, unpack=True,
+    entry_cap=0, return_live=False,
 ):
     """Merge (lo, hi, axis, count) entries without scatter.
 
@@ -302,6 +303,19 @@ def _sorted_pair_reduce(
     512³ bench sizes; the tunneled relay moves ~40-90 MB/s, so payload is
     wall-clock). Callers that MERGE reduced tables on device (the sharded
     two-stage reduce) need real (k1, k2) and keep the default.
+
+    ``entry_cap`` > 0 (packed branch only): drop the stream's sentinel
+    padding through `_compact_live_entries` BEFORE the global sort — the
+    sort and every downstream scan then run over ``entry_cap`` entries
+    instead of 3·B·kp (~85-90% padding at 512³ with p100-tightened kp).
+    Bit-identical output; a cap overflow means live entries were LOST, so
+    the caller must retry larger (the engine converges the cap from the
+    measured live count the same way it converges kp/max_pairs).
+
+    ``return_live=True`` appends (n_live, cap_overflow) to the return
+    tuple — n_live counts the stream's live entries (measured even with
+    entry_cap=0 so the engine can set the cap), cap_overflow is False
+    when no cap was applied.
     """
     if isinstance(los, (list, tuple)):
         los = jnp.concatenate(los)
@@ -312,15 +326,30 @@ def _sorted_pair_reduce(
     if n_labels is not None and 4 * n_labels * n_labels < int(_IMAX):
         n4 = 4 * n_labels
         packed = jnp.where(valid, los * n4 + his * 4 + tags, _IMAX)
+        cap_ovf = jnp.zeros((), bool)
+        if entry_cap and entry_cap < packed.shape[0]:
+            packed, counts, n_live, cap_ovf = _compact_live_entries(
+                packed, counts, entry_cap
+            )
+        elif return_live:
+            n_live = jnp.sum(valid.astype(jnp.int32))
         pk, total, n_runs = _sorted_run_reduce_single(packed, counts, max_entries)
         if not unpack:
-            return pk, jnp.full((1,), n4, jnp.int32), total, n_runs
+            out = (pk, jnp.full((1,), n4, jnp.int32), total, n_runs)
+            return out + ((n_live, cap_ovf) if return_live else ())
         live = pk < _IMAX
         k1 = jnp.where(live, pk // n4, _IMAX)
         k2 = jnp.where(live, pk % n4, _IMAX)
-        return k1, k2, total, n_runs
+        return (k1, k2, total, n_runs) + (
+            (n_live, cap_ovf) if return_live else ()
+        )
     k2 = jnp.where(valid, his * 4 + tags, _IMAX)
-    return _sorted_pair_reduce_keys(los, k2, counts, max_entries)
+    out = _sorted_pair_reduce_keys(los, k2, counts, max_entries)
+    if return_live:
+        # two-key path: no cap (the packed-key compaction does not apply),
+        # but still measure liveness so the engine's bookkeeping is uniform
+        out = out + (jnp.sum(valid.astype(jnp.int32)), jnp.zeros((), bool))
+    return out
 
 
 def _chunked_scan(x, op, pad_value, chunk=2048):
@@ -390,6 +419,52 @@ def _sorted_compact(keys_vals, max_entries, chunk=2048):
     for v in rows[1:]:
         out.append(jnp.where(valid, v[r, j], 0))
     return tuple(out)
+
+
+def _compact_live_entries(key, counts, cap, chunk=2048):
+    """Compact live entries (key < IMAX) of an UNSORTED stream into a
+    ``cap``-entry buffer, dropping sentinel padding before the global sort.
+
+    The raw entry stream is 3·B·kp slots but only the per-block nonzero
+    pairs are live (~10-15% at 512³ once kp is p100-tightened) — the global
+    sort-reduce is ~linear in entries, so shrinking its input is the single
+    biggest post-kernel lever. A batched WITHIN-ROW sort (depth log² chunk,
+    ~7× shallower than the full stream's log² m) pushes each row's
+    sentinels to its tail; per-row live counts + prefix offsets + one
+    gather then pack the live entries front-first. Entry ORDER differs
+    from the raw stream, which is irrelevant: the caller's global sort
+    canonicalizes, so downstream tables stay bit-identical.
+
+    Returns (key [cap], counts [cap], n_live, overflow). ``overflow``
+    (n_live > cap) means live entries were DROPPED — results would be
+    wrong, so callers must retry with a larger cap (the engine's
+    rerun-larger loop); n_live lets them tighten future caps.
+    """
+    m = key.shape[0]
+    g = -(-m // chunk)
+    pad = g * chunk - m
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), _IMAX, key.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+    kr, cr = jax.lax.sort(
+        (key.reshape(g, chunk), counts.reshape(g, chunk)),
+        dimension=1, num_keys=1,
+    )
+    live = kr < _IMAX
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(jnp.sum(live.astype(jnp.int32), axis=1))]
+    )  # [g + 1] prefix offsets of live entries per row
+    n_live = off[-1]
+    i = jnp.arange(cap, dtype=jnp.int32)
+    r = jnp.searchsorted(off, i, side="right").astype(jnp.int32) - 1
+    r = jnp.clip(r, 0, g - 1)
+    j = i - jnp.take(off, r)
+    valid = i < n_live
+    j = jnp.where(valid, j, 0)
+    okey = jnp.where(valid, kr[r, j], _IMAX)
+    octs = jnp.where(valid, cr[r, j], 0)
+    return okey, octs, n_live, n_live > cap
 
 
 def _sorted_run_reduce_single(key, counts, max_entries):

@@ -228,6 +228,13 @@ class PallasConfig:
     # from the measured p100 (`pair_nz`)
     max_pairs_per_block: object = 128
     max_pairs: int = 0
+    # live-entry cap for the pre-sort compaction (0 = off): the raw
+    # 3·B·kp entry stream is ~85-90% sentinel padding once kp is
+    # tightened; compacting live entries first shrinks the global pair
+    # sort (the dominant post-kernel stage) to entry_cap rows. The engine
+    # converges this from the measured live count (`n_live`), with the
+    # same rerun-larger retry as every other buffer bound.
+    entry_cap: int = 0
     # kernel-v2 block packing: P consecutive blocks share ONE grid step
     # (one dictionary-extraction chain, one packed marginal dot) — the
     # chain's serial latency and the per-step fixed costs divide by P.
@@ -1299,10 +1306,14 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
         table, gmin, gmax = blocked._global_moment_combine(
             ids, cols, gmin_l, gmax_l, n
         )
-        k1, k2, total, n_runs = _sorted_pair_reduce(
-            los, his, tags, counts, max_entries, n_labels=n, unpack=False
+        k1, k2, total, n_runs, n_live, cap_ovf = _sorted_pair_reduce(
+            los, his, tags, counts, max_entries, n_labels=n, unpack=False,
+            entry_cap=cfg.entry_cap, return_live=True,
         )
-        return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf, pair_nz
+        return (
+            table, gmin, gmax, k1, k2, total, n_runs, dovf, povf, pair_nz,
+            n_live, cap_ovf,
+        )
 
     return jax.jit(sweep)
 
