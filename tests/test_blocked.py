@@ -214,3 +214,69 @@ def test_engine_entry_cap_convergence_bit_identical():
     for f in ("count", "s1", "s2", "cmin", "cmax",
               "pair_lo", "pair_hi", "wall_face_counts", "margin"):
         np.testing.assert_array_equal(getattr(t1, f), getattr(t2, f))
+
+
+def test_packed_moment_readback_matches_host_assembly():
+    """Device-side base-2^32 moment packing must decode to exactly the
+    host split-column assembly, for both the narrow (5-piece) and wide
+    (8-piece) contracts."""
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import pallas_block
+
+    rng = np.random.default_rng(5)
+    for npieces in (5, 8):
+        ncols = 4 + 6 * npieces
+        n = 257
+        # post-combine split columns: lo sums < 2^31, hi sums bounded by
+        # the exactness contract (generate well within it)
+        lo = rng.integers(0, 2**31 - 1, size=(n, ncols), dtype=np.int64)
+        hi = rng.integers(0, 2**13, size=(n, ncols), dtype=np.int64)
+        table = np.empty((n, 2 * ncols), dtype=np.int32)
+        table[:, 0::2] = lo.astype(np.int32)
+        table[:, 1::2] = hi.astype(np.int32)
+        gmin = rng.integers(0, 500, size=(n, 3)).astype(np.int32)
+        gmax = gmin + rng.integers(0, 500, size=(n, 3)).astype(np.int32)
+
+        ref = pallas_block.assemble_moments_pallas(table, gmin, gmax)
+        words = np.asarray(
+            pallas_block._pack_final_moments(
+                jnp.asarray(table), jnp.asarray(gmin), jnp.asarray(gmax)
+            )
+        )
+        assert words.shape == (n, 26)
+        got = pallas_block.assemble_moments_packed(words)
+        for k in ("count", "s1", "s2", "cmin", "cmax"):
+            np.testing.assert_array_equal(ref[k], got[k]), k
+
+
+def test_row_cap_moment_combine_bit_identical():
+    """The live-row compaction before the segment combine must produce
+    identical tables, and count live rows exactly even on overflow."""
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import blocked
+
+    rng = np.random.default_rng(9)
+    B, L, n, C = 50, 8, 40, 10
+    ids = rng.integers(0, n, size=(B, L)).astype(np.int32)
+    dead = rng.random((B, L)) < 0.6
+    ids[dead] = np.int32(2**31 - 1)
+    cols = rng.integers(0, 1000, size=(B * L, C)).astype(np.int32)
+    cmin = rng.integers(0, 100, size=(B * L, 3)).astype(np.int32)
+    cmax = cmin + rng.integers(0, 100, size=(B * L, 3)).astype(np.int32)
+    args = tuple(jnp.asarray(a) for a in (ids, cols, cmin, cmax))
+    n_live_true = int((~dead).sum())
+
+    ref = blocked._global_moment_combine(*args, n)
+    got = blocked._global_moment_combine(
+        *args, n, row_cap=(n_live_true // 64 + 2) * 64, return_live=True
+    )
+    assert int(got[3]) == n_live_true and not bool(got[4])
+    for a, b in zip(ref, got[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ovf = blocked._global_moment_combine(
+        *args, n, row_cap=64, return_live=True
+    )
+    assert int(ovf[3]) == n_live_true and bool(ovf[4])

@@ -134,10 +134,10 @@ def collect_stack_pallas(handle) -> FeatureTable:
         # padding rows are empty by construction and readback payload is
         # wall-clock on the relayed link.
         if n_sweep > n:
-            out = (out[0][:n], out[1][:n], out[2][:n]) + tuple(out[3:])
+            out = (out[0][:n],) + tuple(out[1:])
         (
-            table, gmin, gmax, k1, k2, total, n_runs, dict_ovf, pair_ovf,
-            pair_nz, n_live, cap_ovf,
+            packed_mom, k1, k2, total, n_runs, dict_ovf, pair_ovf,
+            pair_nz, n_live, cap_ovf, rows_live, row_ovf,
         ) = jax.device_get(out)
         n_runs = int(n_runs)
         retry = None
@@ -159,10 +159,14 @@ def collect_stack_pallas(handle) -> FeatureTable:
             )
         elif bool(cap_ovf):
             # live entries were DROPPED by the pre-sort compaction — the
-            # tables are incomplete; reopen the cap (the measured n_live is
-            # a lower bound: entries past a full compaction row may exist)
+            # tables are incomplete; reopen the cap (the measured n_live
+            # stays exact on overflow: counting precedes truncation)
             retry = dataclasses.replace(
                 cfg, entry_cap=max(cfg.entry_cap * 4, int(n_live) * 2)
+            )
+        elif bool(row_ovf):
+            retry = dataclasses.replace(
+                cfg, row_cap=max(cfg.row_cap * 4, int(rows_live) * 2)
             )
         elif n_runs > 3 * cfg.derived_max_pairs(n_sweep):
             retry = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
@@ -210,10 +214,14 @@ def collect_stack_pallas(handle) -> FeatureTable:
             cap = (int(n_live) * 5 // 4 + 64 + 255) // 256 * 256
             if 4 * n_sweep * n_sweep < 2**31 and cap * 2 <= stream:
                 good = dataclasses.replace(good, entry_cap=cap)
+            # same convergence for the combine's live (block, slot) rows
+            rcap = (int(rows_live) * 5 // 4 + 64 + 255) // 256 * 256
+            if rcap * 2 <= blocks * cfg.max_labels_per_block:
+                good = dataclasses.replace(good, row_cap=rcap)
             _GOOD_CFG[cfg_key] = good
         with timing.stage("readback + host assemble"):
-            moments = pallas_block.assemble_moments_pallas(
-                np.asarray(table)[:n], np.asarray(gmin)[:n], np.asarray(gmax)[:n]
+            moments = pallas_block.assemble_moments_packed(
+                np.asarray(packed_mom)[:n]
             )
             pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
                 np.asarray(k1), np.asarray(k2), np.asarray(total)

@@ -833,14 +833,75 @@ def _build_slab_fns(slab_shape, n_labels, cfg: BlockConfig, wshift: int):
     return main, cross_seam
 
 
-def _global_moment_combine(ids, cols, cmin, cmax, n):
+def _global_moment_combine(ids, cols, cmin, cmax, n, row_cap=0,
+                           return_live=False):
     """Segment-combine per-(block, slot) rows into per-label tables.
 
-    The only scatter in the engine — over B·L rows, not voxels."""
+    The only scatter in the engine — over B·L rows, not voxels.
+
+    ``row_cap`` > 0: compact the LIVE rows (ids < IMAX — typically ~1/3 of
+    the B·L slots at the default L) to the front first, so the
+    segment-sum scatter runs over row_cap rows instead of B·L.
+    ``return_live=True`` appends (n_rows_live, row_overflow) to the
+    return tuple — overflow means rows were dropped (results incomplete,
+    caller must retry larger; the engine converges row_cap from the
+    measured live count, which is exact even on overflow)."""
     seg = jnp.where(ids == _IMAX, n, ids).reshape(-1)
+    if row_cap and row_cap < seg.shape[0]:
+        chunk = 2048
+        m = seg.shape[0]
+        g = -(-m // chunk)
+        pad = g * chunk - m
+        segp = seg
+        if pad:
+            segp = jnp.concatenate([seg, jnp.full((pad,), n, seg.dtype)])
+        idx = jnp.arange(segp.shape[0], dtype=jnp.int32)
+        # within-row sort pushes each chunk's dead slots (seg == n) to its
+        # tail; prefix offsets + one gather pack live ROW INDICES front-
+        # first (sorting 2 narrow operands instead of co-sorting the wide
+        # [., 68] column block)
+        sk, si = jax.lax.sort(
+            (segp.reshape(g, chunk), idx.reshape(g, chunk)),
+            dimension=1, num_keys=1,
+        )
+        live = sk < n
+        off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(jnp.sum(live.astype(jnp.int32), axis=1))]
+        )
+        n_rows_live = off[-1]
+        i = jnp.arange(row_cap, dtype=jnp.int32)
+        r = jnp.searchsorted(off, i, side="right").astype(jnp.int32) - 1
+        r = jnp.clip(r, 0, g - 1)
+        j = i - jnp.take(off, r)
+        valid = i < n_rows_live
+        j = jnp.where(valid, j, 0)
+        rows = jnp.where(valid, si[r, j], 0)
+        seg_c = jnp.where(valid, sk[r, j], n)
+        cols_c = jnp.take(cols.reshape(m, -1), rows, axis=0)
+        cmin_c = jnp.take(cmin.reshape(m, -1), rows, axis=0)
+        cmax_c = jnp.take(cmax.reshape(m, -1), rows, axis=0)
+        # dead gather rows (valid=False) carry seg n and drop out of [:n];
+        # cmin/cmax sentinels don't matter for them
+        table = jax.ops.segment_sum(
+            jnp.where(valid[:, None], cols_c, 0), seg_c, num_segments=n + 1
+        )[:n]
+        gmin = jax.ops.segment_min(
+            jnp.where(valid[:, None], cmin_c, _IMAX), seg_c,
+            num_segments=n + 1,
+        )[:n]
+        gmax = jax.ops.segment_max(
+            jnp.where(valid[:, None], cmax_c, -1), seg_c, num_segments=n + 1
+        )[:n]
+        if return_live:
+            return table, gmin, gmax, n_rows_live, n_rows_live > row_cap
+        return table, gmin, gmax
     table = jax.ops.segment_sum(cols, seg, num_segments=n + 1)[:n]
     gmin = jax.ops.segment_min(cmin, seg, num_segments=n + 1)[:n]
     gmax = jax.ops.segment_max(cmax, seg, num_segments=n + 1)[:n]
+    if return_live:
+        live_rows = jnp.sum((seg < n).astype(jnp.int32))
+        return table, gmin, gmax, live_rows, jnp.zeros((), bool)
     return table, gmin, gmax
 
 
