@@ -193,12 +193,16 @@ def _build_program_pallas(slab_shape, n, cfg, max_entries, interpret):
         table, gmin, gmax = blocked._global_moment_combine(
             ids, cols, gmin_l, gmax_l, n
         )
+        # device-side base-2^32 packing: the per-slab moment readback is
+        # [n, 26] instead of [n, 74/110+6] — readback payload is wall-clock
+        # on the relayed link and the streamed loop reads one table PER SLAB
+        packed_mom = pallas_block._pack_final_moments(table, gmin, gmax)
         k1, k2, total, n_runs = blocked._sorted_pair_reduce(
             los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
         last = dense_slab[-1].astype(jnp.int32)
         return (
-            table, gmin, gmax, k1, k2, total, n_runs,
+            packed_mom, k1, k2, total, n_runs,
             dovf | dovf_s, povf | povf_s, last,
         )
 
@@ -433,10 +437,12 @@ def analyze_streamed(
         z0, out, slab_dev, seam_in = pend
         for _attempt in range(12):
             with timing.stage(f"stream: slab z{z0} collect"):
-                (
-                    table, gmin, gmax, k1, k2, total, n_runs, dovf, povf,
-                    _last,
-                ) = jax.device_get(out)
+                host = jax.device_get(out)
+            if engine == "pallas":
+                packed_mom, k1, k2, total, n_runs, dovf, povf, _last = host
+            else:
+                table, gmin, gmax, k1, k2, total, n_runs, dovf, povf, \
+                    _last = host
             if (
                 bool(dovf)
                 or bool(povf)
@@ -448,20 +454,21 @@ def analyze_streamed(
                 out = get_program(cfg)(slab_dev, seam_in)
                 continue
             if engine == "pallas":
-                m = pallas_block.assemble_moments_pallas(table, gmin, gmax)
+                m = pallas_block.assemble_moments_packed(packed_mom)
             else:
                 wshift = blocked._check_static(slab_shape, n, cfg)
                 m = blocked.assemble_moments(table, gmin, gmax, wshift)
             acc.add_moments(_shift_moments_z(m, z0))
             lo, hi, c3 = blocked.assemble_pairs(k1, k2, total)
             acc.add_pairs(lo, hi, c3)
-            return
+            return int(n_runs)
         raise RuntimeError("streamed slab failed to converge on buffers")
 
     # software-pipelined loop: while the device runs slab k, the host
     # reads/relabels slab k+1 and enqueues its transfer — end-to-end time
     # approaches max(host ingest, device compute) instead of their sum
     pending = None
+    first_runs = None
     for z0 in range(0, z, slab_z):
         z1 = min(z0 + slab_z, z)
         with timing.stage(f"stream: slab z{z0} read+relabel"):
@@ -476,7 +483,18 @@ def analyze_streamed(
         out = get_program(cfg)(slab_dev, seam_in)  # async dispatch
         prev_last = out[-1]  # device future; exact even if buffers overflow
         if pending is not None:
-            collect(pending)
+            runs = collect(pending)
+            if first_runs is None:
+                first_runs = runs
+                # tighten max_pairs to the measured per-slab run count (the
+                # default 24·n sizes the PAIR READBACK arrays — at 50k+
+                # labels that is ~48 MB of mostly-sentinel payload PER SLAB
+                # on the relayed link). Slabs of a stack are statistically
+                # alike, so slab 0's n_runs ×2 headroom holds; a later
+                # spike still converges through the existing n_runs retry.
+                tight = max(2048, -(-runs * 2 // 3) + 64)
+                if not cfg.max_pairs and 4 * tight < cfg.derived_max_pairs(n):
+                    cfg = dataclasses.replace(cfg, max_pairs=tight)
         pending = (z0, out, slab_dev, seam_in)
     if pending is not None:
         collect(pending)
