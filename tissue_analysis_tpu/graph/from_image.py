@@ -319,9 +319,10 @@ def _graph_from_table_impl(
     if "inertia_axis" in props:
         evals, evecs = table.inertia_axes(real=real)
         ev_g, ec_g = evals[seg_arr], evecs[seg_arr]
+        # zip iterates the arrays' first axes at C speed (row views) —
+        # the indexed dict comp pays ~2 numpy __getitem__ calls per label
         graph.add_vertex_property(
-            "inertia_axis",
-            {i: (ec_g[i], ev_g[i]) for i in range(lab_q.size)},
+            "inertia_axis", dict(enumerate(zip(ec_g, ev_g)))
         )
     if "epidermis_surface" in props:
         epi = table.epidermis_wall_area()
