@@ -13,6 +13,13 @@ def main():
     try:
         runpy.run_path(script, run_name="__main__")
         print("SAFE_RUN_OK", flush=True)
+    except SystemExit as e:
+        # scripts ending in sys.exit(main()) raise SystemExit(None/0) on
+        # success — only a truthy code is a failure
+        if e.code:
+            print("SAFE_RUN_FAILED", flush=True)
+        else:
+            print("SAFE_RUN_OK", flush=True)
     except BaseException:
         traceback.print_exc()
         print("SAFE_RUN_FAILED", flush=True)

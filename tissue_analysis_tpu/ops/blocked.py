@@ -304,13 +304,17 @@ def _sorted_pair_reduce(
     wall-clock). Callers that MERGE reduced tables on device (the sharded
     two-stage reduce) need real (k1, k2) and keep the default.
 
-    ``entry_cap`` > 0 (packed branch only): drop the stream's sentinel
-    padding through `_compact_live_entries` BEFORE the global sort — the
-    sort and every downstream scan then run over ``entry_cap`` entries
-    instead of 3·B·kp (~85-90% padding at 512³ with p100-tightened kp).
-    Bit-identical output; a cap overflow means live entries were LOST, so
-    the caller must retry larger (the engine converges the cap from the
-    measured live count the same way it converges kp/max_pairs).
+    ``entry_cap`` > 0 (packed branch only): sort the FULL stream once
+    (live keys < IMAX order ahead of the sentinel padding), then statically
+    slice the first ``entry_cap`` entries — every downstream scan then runs
+    over ``entry_cap`` entries instead of 3·B·kp (~85-90% padding at 512³
+    with p100-tightened kp). Measured on the v5e (scripts/tpu_pair_micro.py):
+    the raw 2M-entry 2-operand sort is ~3.5 ms net while the previous
+    gather-based within-row compaction cost ~27 ms net — TPU gathers are
+    near-serial; big sorts are cheap. Bit-identical output; a cap overflow
+    means live entries were LOST, so the caller must retry larger (the
+    engine converges the cap from the measured live count the same way it
+    converges kp/max_pairs).
 
     ``return_live=True`` appends (n_live, cap_overflow) to the return
     tuple — n_live counts the stream's live entries (measured even with
@@ -327,13 +331,19 @@ def _sorted_pair_reduce(
         n4 = 4 * n_labels
         packed = jnp.where(valid, los * n4 + his * 4 + tags, _IMAX)
         cap_ovf = jnp.zeros((), bool)
+        presorted = False
         if entry_cap and entry_cap < packed.shape[0]:
-            packed, counts, n_live, cap_ovf = _compact_live_entries(
-                packed, counts, entry_cap
-            )
+            n_live = jnp.sum(valid.astype(jnp.int32))
+            cap_ovf = n_live > entry_cap
+            packed, counts = jax.lax.sort((packed, counts), num_keys=1)
+            packed = packed[:entry_cap]
+            counts = counts[:entry_cap]
+            presorted = True
         elif return_live:
             n_live = jnp.sum(valid.astype(jnp.int32))
-        pk, total, n_runs = _sorted_run_reduce_single(packed, counts, max_entries)
+        pk, total, n_runs = _sorted_run_reduce_single(
+            packed, counts, max_entries, presorted=presorted
+        )
         if not unpack:
             out = (pk, jnp.full((1,), n4, jnp.int32), total, n_runs)
             return out + ((n_live, cap_ovf) if return_live else ())
@@ -377,99 +387,36 @@ def _chunked_scan(x, op, pad_value, chunk=2048):
     return out[:m] if pad else out
 
 
-def _sorted_compact(keys_vals, max_entries, chunk=2048):
-    """Compact live entries (key < IMAX) of a GLOBALLY key-sorted stream to
-    the front, preserving order — bit-identical to re-sorting the masked
-    stream, at a fraction of the cost.
+def _take_front(keys_vals, max_entries):
+    """First ``max_entries`` rows of an already-sorted (key, *vals) stream,
+    padding with (IMAX, 0) when the stream is shorter than the request.
 
-    ``keys_vals``: (key, *vals) with key already ascending among live
-    entries (IMAX-masked entries may sit anywhere). Because the stream is
-    globally sorted, every live key in row r of a [G, chunk] reshape is
-    ≤ every live key in row r+1 — so a cheap batched WITHIN-ROW sort (depth
-    log² chunk instead of log² m, the dominant cost of the old full-stream
-    second sort: ~10 ms of the ~23 ms pair stage at 512³) followed by
-    per-row live counts, prefix offsets, and one small gather reproduces
-    the full sort's output exactly: live entries ascending, IMAX/0 fill,
-    first ``max_entries`` kept.
+    Compacting a sentinel-masked sorted stream is a plain re-sort + static
+    slice: live keys (< IMAX) order ahead of the IMAX sentinels, so the
+    prefix IS the compacted table. A full 300k-entry multi-operand sort
+    measures ~0 ms net on the v5e (scripts/tpu_pair_micro.py) while the
+    previous within-row-sort + 2-D-gather compaction cost ~6 ms net at the
+    same size — gathers are the expensive primitive on TPU, not sorts.
     """
     key = keys_vals[0]
     m = key.shape[0]
-    g = -(-m // chunk)
-    pad = g * chunk - m
-    if pad:
-        key = jnp.concatenate([key, jnp.full((pad,), _IMAX, key.dtype)])
-    rows = [key.reshape(g, chunk)]
+    if m >= max_entries:
+        return tuple(v[:max_entries] for v in keys_vals)
+    pad = max_entries - m
+    out = [jnp.concatenate([key, jnp.full((pad,), _IMAX, key.dtype)])]
     for v in keys_vals[1:]:
-        if pad:
-            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
-        rows.append(v.reshape(g, chunk))
-    rows = jax.lax.sort(tuple(rows), dimension=1, num_keys=1)
-    live = rows[0] < _IMAX
-    off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(jnp.sum(live.astype(jnp.int32), axis=1))]
-    )  # [g + 1] prefix offsets of live entries per row
-    i = jnp.arange(max_entries, dtype=jnp.int32)
-    r = jnp.searchsorted(off, i, side="right").astype(jnp.int32) - 1
-    r = jnp.clip(r, 0, g - 1)
-    j = i - jnp.take(off, r)
-    valid = i < off[-1]
-    j = jnp.where(valid, j, 0)
-    out = [jnp.where(valid, rows[0][r, j], _IMAX)]
-    for v in rows[1:]:
-        out.append(jnp.where(valid, v[r, j], 0))
+        out.append(jnp.concatenate([v, jnp.zeros((pad,), v.dtype)]))
     return tuple(out)
 
 
-def _compact_live_entries(key, counts, cap, chunk=2048):
-    """Compact live entries (key < IMAX) of an UNSORTED stream into a
-    ``cap``-entry buffer, dropping sentinel padding before the global sort.
+def _sorted_run_reduce_single(key, counts, max_entries, presorted=False):
+    """Single-int32-key variant of :func:`_sorted_pair_reduce_keys`.
 
-    The raw entry stream is 3·B·kp slots but only the per-block nonzero
-    pairs are live (~10-15% at 512³ once kp is p100-tightened) — the global
-    sort-reduce is ~linear in entries, so shrinking its input is the single
-    biggest post-kernel lever. A batched WITHIN-ROW sort (depth log² chunk,
-    ~7× shallower than the full stream's log² m) pushes each row's
-    sentinels to its tail; per-row live counts + prefix offsets + one
-    gather then pack the live entries front-first. Entry ORDER differs
-    from the raw stream, which is irrelevant: the caller's global sort
-    canonicalizes, so downstream tables stay bit-identical.
-
-    Returns (key [cap], counts [cap], n_live, overflow). ``overflow``
-    (n_live > cap) means live entries were DROPPED — results would be
-    wrong, so callers must retry with a larger cap (the engine's
-    rerun-larger loop); n_live lets them tighten future caps.
+    ``presorted``: the caller already globally sorted (key, counts) — e.g.
+    the entry-cap slice in `_sorted_pair_reduce` — so skip the first sort.
     """
-    m = key.shape[0]
-    g = -(-m // chunk)
-    pad = g * chunk - m
-    if pad:
-        key = jnp.concatenate([key, jnp.full((pad,), _IMAX, key.dtype)])
-        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
-    kr, cr = jax.lax.sort(
-        (key.reshape(g, chunk), counts.reshape(g, chunk)),
-        dimension=1, num_keys=1,
-    )
-    live = kr < _IMAX
-    off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(jnp.sum(live.astype(jnp.int32), axis=1))]
-    )  # [g + 1] prefix offsets of live entries per row
-    n_live = off[-1]
-    i = jnp.arange(cap, dtype=jnp.int32)
-    r = jnp.searchsorted(off, i, side="right").astype(jnp.int32) - 1
-    r = jnp.clip(r, 0, g - 1)
-    j = i - jnp.take(off, r)
-    valid = i < n_live
-    j = jnp.where(valid, j, 0)
-    okey = jnp.where(valid, kr[r, j], _IMAX)
-    octs = jnp.where(valid, cr[r, j], 0)
-    return okey, octs, n_live, n_live > cap
-
-
-def _sorted_run_reduce_single(key, counts, max_entries):
-    """Single-int32-key variant of :func:`_sorted_pair_reduce_keys`."""
-    key, counts = jax.lax.sort((key, counts), num_keys=1)
+    if not presorted:
+        key, counts = jax.lax.sort((key, counts), num_keys=1)
     m = key.shape[0]
     is_last = jnp.concatenate([key[1:] != key[:-1], jnp.array([True])])
     is_last = is_last & (key < _IMAX)
@@ -487,7 +434,8 @@ def _sorted_run_reduce_single(key, counts, max_entries):
     total = jnp.where(is_last, cs - prev_cs, 0)
     n_runs = jnp.sum(is_last.astype(jnp.int32))
     okey = jnp.where(is_last, key, _IMAX)
-    okey, total = _sorted_compact((okey, total), max_entries)
+    okey, total = jax.lax.sort((okey, total), num_keys=1)
+    okey, total = _take_front((okey, total), max_entries)
     return okey, total, n_runs
 
 
@@ -516,9 +464,8 @@ def _sorted_pair_reduce_keys(k1, k2, counts, max_entries):
     n_runs = jnp.sum(is_last.astype(jnp.int32))
     ok1 = jnp.where(is_last, k1, _IMAX)
     ok2 = jnp.where(is_last, k2, _IMAX)
-    # live (k1, k2) are already ascending after the first sort (stable
-    # within-row sort on k1 alone preserves the k2 order of equal-k1 runs)
-    ok1, ok2, total = _sorted_compact((ok1, ok2, total), max_entries)
+    ok1, ok2, total = jax.lax.sort((ok1, ok2, total), num_keys=2)
+    ok1, ok2, total = _take_front((ok1, ok2, total), max_entries)
     ok2 = jnp.where(ok1 < _IMAX, ok2, _IMAX)  # sentinel convention
     return ok1, ok2, total, n_runs
 
@@ -848,36 +795,19 @@ def _global_moment_combine(ids, cols, cmin, cmax, n, row_cap=0,
     measured live count, which is exact even on overflow)."""
     seg = jnp.where(ids == _IMAX, n, ids).reshape(-1)
     if row_cap and row_cap < seg.shape[0]:
-        chunk = 2048
         m = seg.shape[0]
-        g = -(-m // chunk)
-        pad = g * chunk - m
-        segp = seg
-        if pad:
-            segp = jnp.concatenate([seg, jnp.full((pad,), n, seg.dtype)])
-        idx = jnp.arange(segp.shape[0], dtype=jnp.int32)
-        # within-row sort pushes each chunk's dead slots (seg == n) to its
-        # tail; prefix offsets + one gather pack live ROW INDICES front-
-        # first (sorting 2 narrow operands instead of co-sorting the wide
-        # [., 68] column block)
-        sk, si = jax.lax.sort(
-            (segp.reshape(g, chunk), idx.reshape(g, chunk)),
-            dimension=1, num_keys=1,
-        )
-        live = sk < n
-        off = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum(jnp.sum(live.astype(jnp.int32), axis=1))]
-        )
-        n_rows_live = off[-1]
+        idx = jnp.arange(m, dtype=jnp.int32)
+        # full sort of the two NARROW operands (seg, row index) orders the
+        # live rows (seg < n) ahead of the dead slots, so the row_cap
+        # prefix IS the compacted index list — sorts are cheap on TPU,
+        # gathers are not (scripts/tpu_pair_micro.py); the wide [., 68]
+        # column block is never co-sorted, only row-gathered once below
+        sk, si = jax.lax.sort((seg, idx), num_keys=1)
+        n_rows_live = jnp.sum((seg < n).astype(jnp.int32))
         i = jnp.arange(row_cap, dtype=jnp.int32)
-        r = jnp.searchsorted(off, i, side="right").astype(jnp.int32) - 1
-        r = jnp.clip(r, 0, g - 1)
-        j = i - jnp.take(off, r)
         valid = i < n_rows_live
-        j = jnp.where(valid, j, 0)
-        rows = jnp.where(valid, si[r, j], 0)
-        seg_c = jnp.where(valid, sk[r, j], n)
+        rows = jnp.where(valid, si[:row_cap], 0)
+        seg_c = jnp.where(valid, sk[:row_cap], n)
         cols_c = jnp.take(cols.reshape(m, -1), rows, axis=0)
         cmin_c = jnp.take(cmin.reshape(m, -1), rows, axis=0)
         cmax_c = jnp.take(cmax.reshape(m, -1), rows, axis=0)
