@@ -135,11 +135,19 @@ def collect_stack_pallas(handle) -> FeatureTable:
         # wall-clock on the relayed link.
         if n_sweep > n:
             out = (out[0][:n],) + tuple(out[1:])
+        # 3 buffers: moment table, stacked pair table, stats vector (the
+        # relay charges per-buffer latency — see SWEEP_STATS for layout)
+        packed_mom, pairs, stats = jax.device_get(out)
         (
-            packed_mom, k1, k2, total, n_runs, dict_ovf, pair_ovf,
-            pair_nz, n_live, cap_ovf, rows_live, row_ovf,
-        ) = jax.device_get(out)
-        n_runs = int(n_runs)
+            n_runs, dict_ovf, pair_ovf, pair_nz0, pair_nz1, pair_nz2,
+            n_live, cap_ovf, rows_live, row_ovf, k2_marker,
+        ) = (int(v) for v in stats)
+        pair_nz = np.array([pair_nz0, pair_nz1, pair_nz2], np.int32)
+        if pairs.shape[0] == 2:  # packed-key mode
+            k1, total = pairs
+            k2 = np.array([k2_marker], np.int32)
+        else:  # two-key mode
+            k1, k2, total = pairs
         retry = None
         if bool(dict_ovf):
             retry = dataclasses.replace(

@@ -1397,12 +1397,30 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
             los, his, tags, counts, max_entries, n_labels=n, unpack=False,
             entry_cap=cfg.entry_cap, return_live=True,
         )
-        return (
-            packed_mom, k1, k2, total, n_runs, dovf, povf, pair_nz,
-            n_live, cap_ovf, rows_live, row_ovf,
+        # THREE readback buffers, not 12: the tunneled relay charges
+        # per-buffer latency on device_get (scripts/tpu_readback_micro.py),
+        # so the pair arrays stack into one [2/3, E] buffer and every
+        # scalar/flag rides one [11] stats vector (layout: SWEEP_STATS).
+        if k2.shape[0] == 1:  # packed-key mode: k2 is the [1] n4 marker
+            pairs = jnp.stack([k1, total])
+        else:  # two-key mode (4n² ≥ 2³¹)
+            pairs = jnp.stack([k1, k2, total])
+        stats = jnp.stack(
+            [n_runs, dovf.astype(jnp.int32), povf.astype(jnp.int32),
+             pair_nz[0], pair_nz[1], pair_nz[2], n_live,
+             cap_ovf.astype(jnp.int32), rows_live,
+             row_ovf.astype(jnp.int32), k2[0]]
         )
+        return packed_mom, pairs, stats
 
     return jax.jit(sweep)
+
+
+#: index layout of the sweep's stats vector (see `_build_pallas_sweep`)
+SWEEP_STATS = (
+    "n_runs", "dict_ovf", "pair_ovf", "pair_nz0", "pair_nz1", "pair_nz2",
+    "n_live", "cap_ovf", "rows_live", "row_ovf", "k2_marker",
+)
 
 
 _SWEEP_CACHE: dict = {}
