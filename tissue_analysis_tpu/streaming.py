@@ -170,6 +170,33 @@ def _make_relabel(ids: np.ndarray, dtype) -> "callable":
 # ---------------------------------------------------------------------------
 
 
+def _pack_readback(mom, k1, k2, total, n_runs, dovf, povf):
+    """Stack the per-slab outputs into 3 readback buffers (moment block,
+    pair table, stats vector) — the tunneled relay charges per-buffer
+    latency on device_get and the streamed loop reads once PER SLAB.
+    Layout mirrors the single-device sweep (`pallas_block.SWEEP_STATS`
+    idea): stats = [n_runs, dovf, povf, k2_marker]."""
+    if k2.shape[0] == 1:  # packed-key mode: k2 is the [1] 4n marker
+        pairs = jnp.stack([k1, total])
+    else:  # two-key mode (4n^2 >= 2^31)
+        pairs = jnp.stack([k1, k2, total])
+    stats = jnp.stack(
+        [n_runs, dovf.astype(jnp.int32), povf.astype(jnp.int32), k2[0]]
+    )
+    return mom, pairs, stats
+
+
+def _unpack_readback(mom, pairs, stats):
+    """Host inverse of :func:`_pack_readback`."""
+    n_runs, dovf, povf, k2_marker = (int(v) for v in stats)
+    if pairs.shape[0] == 2:
+        k1, total = pairs
+        k2 = np.array([k2_marker], np.int32)
+    else:
+        k1, k2, total = pairs
+    return mom, k1, k2, total, n_runs, bool(dovf), bool(povf)
+
+
 def _build_program_pallas(slab_shape, n, cfg, max_entries, interpret):
     from tissue_analysis_tpu.ops import pallas_block
 
@@ -201,10 +228,9 @@ def _build_program_pallas(slab_shape, n, cfg, max_entries, interpret):
             los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
         last = dense_slab[-1].astype(jnp.int32)
-        return (
-            packed_mom, k1, k2, total, n_runs,
-            dovf | dovf_s, povf | povf_s, last,
-        )
+        return _pack_readback(
+            packed_mom, k1, k2, total, n_runs, dovf | dovf_s, povf | povf_s
+        ) + (last,)
 
     return jax.jit(program)
 
@@ -238,10 +264,11 @@ def _build_program_blocked(slab_shape, n, cfg, wshift, max_entries):
             dense_slab[-1].astype(jnp.int32),
             ((0, yp - y), (0, xp - x)), constant_values=n,
         )
-        return (
-            table, gmin, gmax, k1, k2, total, n_runs,
-            dovf | dovf_s, povf | povf_s, last,
-        )
+        # moment block rides as ONE [n, 40+3+3] buffer (split on host)
+        mom = jnp.concatenate([table, gmin, gmax], axis=1)
+        return _pack_readback(
+            mom, k1, k2, total, n_runs, dovf | dovf_s, povf | povf_s
+        ) + (last,)
 
     return jax.jit(program)
 
@@ -437,27 +464,26 @@ def analyze_streamed(
         z0, out, slab_dev, seam_in = pend
         for _attempt in range(12):
             with timing.stage(f"stream: slab z{z0} collect"):
-                host = jax.device_get(out)
-            if engine == "pallas":
-                packed_mom, k1, k2, total, n_runs, dovf, povf, _last = host
-            else:
-                table, gmin, gmax, k1, k2, total, n_runs, dovf, povf, \
-                    _last = host
+                # out[-1] is the last z-plane seam — consumed ON DEVICE by
+                # the next slab's program; reading it back would move a
+                # [y, x] int32 plane per slab over the ~40 MB/s relay
+                host = jax.device_get(out[:-1])
+            mom, k1, k2, total, n_runs, dovf, povf = _unpack_readback(*host)
             if (
-                bool(dovf)
-                or bool(povf)
+                dovf
+                or povf
                 or int(n_runs) > 3 * cfg.derived_max_pairs(n)
             ):
-                cfg = _grow_cfg(
-                    engine, cfg, bool(dovf), bool(povf), int(n_runs)
-                )
+                cfg = _grow_cfg(engine, cfg, dovf, povf, int(n_runs))
                 out = get_program(cfg)(slab_dev, seam_in)
                 continue
             if engine == "pallas":
-                m = pallas_block.assemble_moments_packed(packed_mom)
+                m = pallas_block.assemble_moments_packed(mom)
             else:
                 wshift = blocked._check_static(slab_shape, n, cfg)
-                m = blocked.assemble_moments(table, gmin, gmax, wshift)
+                m = blocked.assemble_moments(
+                    mom[:, :-6], mom[:, -6:-3], mom[:, -3:], wshift
+                )
             acc.add_moments(_shift_moments_z(m, z0))
             lo, hi, c3 = blocked.assemble_pairs(k1, k2, total)
             acc.add_pairs(lo, hi, c3)
