@@ -79,10 +79,10 @@ if __name__ == "__main__":
     out = slab_j(stack.dense)
     t_slab = timeit(lambda d: fence(slab_j(d)[0][0, 0]), stack.dense)
 
-    # full sweep (everything on device)
-    full = pallas_block.pallas_sweep(stack.dense, n, cfg)
+    # full sweep (everything on device; returns ONE flat buffer + layout)
+    full, _layout = pallas_block.pallas_sweep(stack.dense, n, cfg)
     t_full = timeit(
-        lambda d: fence(pallas_block.pallas_sweep(d, n, cfg)[0][0, 0]),
+        lambda d: fence(pallas_block.pallas_sweep(d, n, cfg)[0][0]),
         stack.dense,
     )
 
@@ -99,12 +99,16 @@ if __name__ == "__main__":
         out[0], out[1], out[2], out[3], out[4], out[5], out[6], out[7]
     )
     max_entries = 3 * cfg.derived_max_pairs(n)
+    # match the real in-sweep path: packed readback + converged entry_cap
+    # (the uncapped variant runs its scans over the FULL padded stream and
+    # overstates the stage ~4x at 512^3)
     sortj = jax.jit(
         lambda a, b, c, d: blocked._sorted_pair_reduce(
-            a, b, c, d, max_entries, n_labels=n
+            a, b, c, d, max_entries, n_labels=n, unpack=False,
+            entry_cap=cfg.entry_cap, return_live=True,
         )
     )
-    t_sort = timeit(lambda: fence(sortj(los, his, tags, counts)[3]))
+    t_sort = timeit(lambda: fence(sortj(los, his, tags, counts)[2][0]))
 
     # moment combine alone
     momj = jax.jit(

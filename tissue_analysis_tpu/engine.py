@@ -116,28 +116,30 @@ def dispatch_stack_pallas(
     cfg_key = ("pallas", stack.shape, n_sweep) if cfg is None else None
     if cfg is None:
         cfg = _GOOD_CFG.get(cfg_key) or pallas_block.PallasConfig()
-    out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
-    return (stack, cfg, cfg_key, n, n_sweep, out)
+    out, layout = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
+    return (stack, cfg, cfg_key, n, n_sweep, out, layout)
 
 
 def collect_stack_pallas(handle) -> FeatureTable:
     """Block on one dispatched sweep; resolves overflow retries inline."""
     from tissue_analysis_tpu.ops import pallas_block
 
-    stack, cfg, cfg_key, n, n_sweep, out = handle
+    stack, cfg, cfg_key, n, n_sweep, out, layout = handle
     from tissue_analysis_tpu.utils import timing
 
     for _attempt in range(12):
-        # ONE batched device→host transfer (round trips cost latency). In
-        # bucket mode (n_sweep > n: series frames sharing one compilation)
-        # slice the moment rows to the live labels ON DEVICE first — the
-        # padding rows are empty by construction and readback payload is
-        # wall-clock on the relayed link.
+        # ONE flat device→host buffer (the relay charges per-buffer latency
+        # AND round trips — see pallas_block.SweepLayout). In bucket mode
+        # (n_sweep > n: series frames sharing one compilation) truncate the
+        # padded moment rows ON DEVICE first — moments sit at the buffer's
+        # tail precisely so this is a single slice, and the padding rows
+        # are empty by construction.
         if n_sweep > n:
-            out = (out[0][:n],) + tuple(out[1:])
-        # 3 buffers: moment table, stacked pair table, stats vector (the
-        # relay charges per-buffer latency — see SWEEP_STATS for layout)
-        packed_mom, pairs, stats = jax.device_get(out)
+            head = layout.pair_rows * layout.max_entries + 11
+            out = out[: head + n * layout.mom_cols]
+        packed_mom, pairs, stats = pallas_block.split_sweep_flat(
+            np.asarray(jax.device_get(out)), layout
+        )
         (
             n_runs, dict_ovf, pair_ovf, pair_nz0, pair_nz1, pair_nz2,
             n_live, cap_ovf, rows_live, row_ovf, k2_marker,
@@ -180,7 +182,7 @@ def collect_stack_pallas(handle) -> FeatureTable:
             retry = dataclasses.replace(cfg, max_pairs=-(-n_runs // 3) + 16)
         if retry is not None:
             cfg = retry
-            out = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
+            out, layout = pallas_block.pallas_sweep(stack.dense, n_sweep, cfg)
             continue
         if cfg_key is not None:
             good = cfg

@@ -65,17 +65,23 @@ def barycenter(count: np.ndarray, s1: np.ndarray, voxelsize=None) -> np.ndarray:
 def bounding_slices(count, cmin, cmax):
     """Per-label slice tuples (None where absent) — ``nd.find_objects`` style.
 
-    Bulk ``.tolist()`` conversions first: building slices from numpy
-    scalars one at a time cost ~18 ms at 512³ (2k labels); from Python
-    ints it is ~1 ms.
+    Bulk ``.tolist()`` conversions first (building slices from numpy
+    scalars one at a time cost ~18 ms at 512³/2k labels), then ONE flat
+    ``map(slice, ...)`` grouped into rows by zipping the same iterator
+    ndim times — 2.6× faster than a per-row ``tuple(map(slice, ...))``
+    comprehension (~3.4 → ~1.3 ms at bench scale; the per-row form pays
+    map/tuple setup per label). Absent labels are patched to None after
+    (they are rare — background-only in practice).
     """
-    lo = np.asarray(cmin).tolist()
-    hi = (np.asarray(cmax) + 1).tolist()
-    present = (np.asarray(count) != 0).tolist()
-    return [
-        tuple(map(slice, lo[k], hi[k])) if ok else None
-        for k, ok in enumerate(present)
-    ]
+    cmin = np.asarray(cmin)
+    ndim = cmin.shape[1]
+    lo = cmin.reshape(-1).tolist()
+    hi = (np.asarray(cmax) + 1).reshape(-1).tolist()
+    it = map(slice, lo, hi)
+    out = list(zip(*(it,) * ndim))
+    for k in np.nonzero(np.asarray(count) == 0)[0].tolist():
+        out[k] = None
+    return out
 
 
 def second_moment_matrix(s2: np.ndarray, ndim: int) -> np.ndarray:

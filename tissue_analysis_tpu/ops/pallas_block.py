@@ -46,6 +46,7 @@ exceeding BOTH fall back to the XLA blocked engine.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import math
 from typing import Optional, Tuple
@@ -1377,11 +1378,35 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret,
     return slab_pass
 
 
+#: static split description of the sweep's ONE flat int32 readback buffer:
+#: [pair_rows·max_entries pairs | 11 stats | rows·mom_cols moments]
+#: (moments LAST so bucket-mode callers can truncate unused label rows
+#: with a single device-side tail slice before the device_get).
+SweepLayout = collections.namedtuple(
+    "SweepLayout", ["pair_rows", "max_entries", "mom_cols", "rows"]
+)
+
+
+def split_sweep_flat(flat: np.ndarray, layout: SweepLayout):
+    """Host-side split of the sweep's flat buffer into
+    (packed_mom [rows', 26], pairs [pair_rows, E], stats [11]) views —
+    rows' may be smaller than layout.rows when the caller truncated
+    bucket-mode padding rows on device."""
+    r, e, c, _ = layout
+    head = r * e + 11
+    pairs = flat[: r * e].reshape(r, e)
+    stats = flat[r * e: head]
+    packed_mom = flat[head:].reshape(-1, c)
+    return packed_mom, pairs, stats
+
+
 def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
     n = n_labels
     wide = _check_static_pallas(shape, n, cfg)
     max_entries = 3 * cfg.derived_max_pairs(n)
     slab_pass = build_pallas_slab_fn(shape, n, cfg, interpret, wide=wide)
+    pair_rows = 2 if 4 * n * n < int(_IMAX) else 3
+    layout = SweepLayout(pair_rows, max_entries, 26, n)
 
     def sweep(dense):
         (
@@ -1397,10 +1422,12 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
             los, his, tags, counts, max_entries, n_labels=n, unpack=False,
             entry_cap=cfg.entry_cap, return_live=True,
         )
-        # THREE readback buffers, not 12: the tunneled relay charges
-        # per-buffer latency on device_get (scripts/tpu_readback_micro.py),
-        # so the pair arrays stack into one [2/3, E] buffer and every
-        # scalar/flag rides one [11] stats vector (layout: SWEEP_STATS).
+        # ONE flat readback buffer, not 3 (nor the original 12): the
+        # tunneled relay charges per-buffer latency on device_get
+        # (scripts/tpu_readback_micro.py), so the pair arrays, the [11]
+        # stats vector (layout: SWEEP_STATS) and the packed moment table
+        # concatenate into a single int32 stream split host-side by the
+        # static `SweepLayout` (`split_sweep_flat`).
         if k2.shape[0] == 1:  # packed-key mode: k2 is the [1] n4 marker
             pairs = jnp.stack([k1, total])
         else:  # two-key mode (4n² ≥ 2³¹)
@@ -1411,9 +1438,11 @@ def _build_pallas_sweep(shape, n_labels, cfg: PallasConfig, interpret: bool):
              cap_ovf.astype(jnp.int32), rows_live,
              row_ovf.astype(jnp.int32), k2[0]]
         )
-        return packed_mom, pairs, stats
+        return jnp.concatenate(
+            [pairs.reshape(-1), stats, packed_mom.reshape(-1)]
+        )
 
-    return jax.jit(sweep)
+    return jax.jit(sweep), layout
 
 
 #: index layout of the sweep's stats vector (see `_build_pallas_sweep`)
@@ -1432,15 +1461,19 @@ def pallas_sweep(
     cfg: Optional[PallasConfig] = None,
     interpret: Optional[bool] = None,
 ):
-    """Run the Pallas fused sweep; same output contract as
-    `blocked.blocked_sweep` except moments assemble via
-    `assemble_moments_pallas` (no wshift)."""
+    """Run the Pallas fused sweep.
+
+    Returns ``(flat, layout)``: one flat int32 device buffer (see
+    `SweepLayout` / `split_sweep_flat`) holding the reduced pair table,
+    the SWEEP_STATS vector and the packed moment table
+    (`assemble_moments_packed` decodes the latter)."""
     cfg = cfg or PallasConfig()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     key = (tuple(dense.shape), n_labels, cfg, interpret)
-    fn = _SWEEP_CACHE.get(key)
-    if fn is None:
-        fn = _build_pallas_sweep(tuple(dense.shape), n_labels, cfg, interpret)
-        _SWEEP_CACHE[key] = fn
-    return fn(dense)
+    hit = _SWEEP_CACHE.get(key)
+    if hit is None:
+        hit = _build_pallas_sweep(tuple(dense.shape), n_labels, cfg, interpret)
+        _SWEEP_CACHE[key] = hit
+    fn, layout = hit
+    return fn(dense), layout
