@@ -44,9 +44,11 @@ def main():
         try:
             fn(stack)
         except ValueError as e:
-            # pallas static int32 bound (off·s1) rejects wide 2D lifts —
-            # record the skip instead of crashing (a process dying with an
-            # initialized axon backend wedges the remote worker ~20-40 min)
+            # the wide 8-piece reconstruction admits the 4096^2 lift
+            # (ops/pallas_block._check_static_pallas returns wide=True);
+            # keep the guard so a bound regression records a skip instead
+            # of crashing (a process dying with an initialized axon
+            # backend wedges the remote worker ~20-40 min)
             print(json.dumps({"case": f"2D {n}^2", "engine": name,
                               "skipped": str(e)}), flush=True)
             continue
