@@ -281,12 +281,13 @@ def _sorted_pair_reduce(
     lexicographic 2-key device sort replaces the old packed lo·n+hi key, so
     the only label bound is hi·4+3 ≤ 2³¹ (n ≤ 2²⁹ — no practical ceiling,
     VERDICT r1 missing #2). Sentinel entries carry lo = hi = IMAX.
-    Segmented-run totals come from cumsum differences; the int32 cumsum may
-    wrap on Gvoxel-scale entry streams, but differences stay exact modulo
-    2³² as long as each per-(pair, axis) face count is < 2³¹ (ADVICE r1:
-    the previous cummax-of-cumsum boundary lookup broke under wrap; the
-    index-gather below is wrap-safe). A second sort brings run boundaries
-    to the front; slice max_entries.
+    Segmented-run totals come from a gather-free segmented cumsum
+    (`_chunked_segsum`) that resets at run starts — int32-exact whenever
+    each per-(pair, axis) face total is < 2³¹, independent of stream
+    length (no whole-stream cumsum that could wrap, and no `jnp.take` of
+    run boundaries — TPU gathers are near-serial and that take alone cost
+    ~9 ms at 512³). A second sort brings run boundaries to the front;
+    slice max_entries.
 
     When ``n_labels`` is given and 4n² fits int32 (n ≤ 23,170 — the common
     case), the two keys pack into ONE int32 key lo·4n + hi·4 + axis with
@@ -362,28 +363,50 @@ def _sorted_pair_reduce(
     return out
 
 
-def _chunked_scan(x, op, pad_value, chunk=2048):
-    """Inclusive scan over a 1-D int32 array via the two-level blocked-scan
-    scheme: reshape to [G, chunk], scan the short lane axis, then add/fold
-    the per-row carry (a tiny [G] scan) back in.
+def _chunked_segsum(counts, starts, chunk=2048):
+    """Inclusive SEGMENTED cumsum: running int32 sum of ``counts`` that
+    resets wherever ``starts`` (int32 0/1) is 1, via a two-level blocked
+    scan — reshape to [G, chunk], `associative_scan` the short lane axis
+    with the standard segmented-sum (value, flag) operator, then fold the
+    per-row carry (a tiny [G] scan of the same operator) back in. XLA
+    lowers a flat multi-M-element scan on TPU to a slow multi-pass
+    program (~20 ms at 512³ — measured); the blocked form runs it in a
+    few full-array passes (~10×).
 
-    XLA lowers a flat 2M-element `cumsum`/`cummax` on TPU to a slow
-    multi-pass program (~20 ms at 512³ — measured: the two scans, not the
-    sorts, dominated `_sorted_pair_reduce`); the blocked form runs the
-    same scan in a few full-array passes (~10×).
+    This replaces the previous run-total formulation (global cumsum +
+    cummax-of-last-index + ``jnp.take`` of the previous run end): TPU
+    gathers run near-serially (~30 ns/element — the reason gather-based
+    pair compaction was dropped, see `_take_front`), so the take alone
+    cost ~9 ms over the ~300k capped entries at 512³. The segmented scan
+    is a few full-array vector passes instead. It is also strictly safer
+    on exactness: sums accumulate only WITHIN a run, so int32 suffices
+    whenever each per-(pair, axis) total is < 2³¹ (the existing contract)
+    — no reliance on wrap-difference behavior across the whole stream.
     """
-    m = x.shape[0]
+    m = counts.shape[0]
     g = -(-m // chunk)
     pad = g * chunk - m
     if pad:
-        x = jnp.concatenate([x, jnp.full((pad,), pad_value, x.dtype)])
-    r = x.reshape(g, chunk)
-    rc = jax.lax.associative_scan(op, r, axis=1)
-    carry = jax.lax.associative_scan(op, rc[:, -1])
-    carry = jnp.concatenate(
-        [jnp.full((1,), pad_value, x.dtype), carry[:-1]]
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((pad,), counts.dtype)]
+        )
+        starts = jnp.concatenate([starts, jnp.ones((pad,), starts.dtype)])
+
+    def op(a, b):
+        asum, aflag = a
+        bsum, bflag = b
+        return jnp.where(bflag != 0, bsum, asum + bsum), aflag | bflag
+
+    rs, rf = jax.lax.associative_scan(
+        op, (counts.reshape(g, chunk), starts.reshape(g, chunk)), axis=1
     )
-    out = op(rc, carry[:, None]).reshape(-1)
+    csum, cflag = jax.lax.associative_scan(op, (rs[:, -1], rf[:, -1]))
+    # carry entering row r = scan state after rows 0..r-1; identity (0, 0)
+    # enters row 0. The op is NOT commutative: carry is the LEFT operand.
+    csum = jnp.concatenate([jnp.zeros((1,), counts.dtype), csum[:-1]])
+    cflag = jnp.concatenate([jnp.zeros((1,), starts.dtype), cflag[:-1]])
+    out, _ = op((csum[:, None], cflag[:, None]), (rs, rf))
+    out = out.reshape(-1)
     return out[:m] if pad else out
 
 
@@ -417,21 +440,14 @@ def _sorted_run_reduce_single(key, counts, max_entries, presorted=False):
     """
     if not presorted:
         key, counts = jax.lax.sort((key, counts), num_keys=1)
-    m = key.shape[0]
     is_last = jnp.concatenate([key[1:] != key[:-1], jnp.array([True])])
     is_last = is_last & (key < _IMAX)
-    cs = _chunked_scan(counts, jnp.add, 0)  # wrap-tolerant: only differences
-    idx = jnp.arange(m, dtype=jnp.int32)
-    prev_last_idx = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32),
-         _chunked_scan(jnp.where(is_last, idx, -1), jnp.maximum, -1)[:-1]]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (key[1:] != key[:-1]).astype(jnp.int32)]
     )
-    prev_cs = jnp.where(
-        prev_last_idx >= 0,
-        jnp.take(cs, jnp.clip(prev_last_idx, 0, m - 1)),
-        0,
-    )
-    total = jnp.where(is_last, cs - prev_cs, 0)
+    seg = _chunked_segsum(counts, is_start)  # run totals at run ends
+    total = jnp.where(is_last, seg, 0)
     n_runs = jnp.sum(is_last.astype(jnp.int32))
     okey = jnp.where(is_last, key, _IMAX)
     okey, total = jax.lax.sort((okey, total), num_keys=1)
@@ -444,23 +460,14 @@ def _sorted_pair_reduce_keys(k1, k2, counts, max_entries):
     used directly when merging already-reduced per-device entry tables
     (k2 = hi·4 + axis, sentinel k1 = k2 = IMAX)."""
     k1, k2, counts = jax.lax.sort((k1, k2, counts), num_keys=2)
-    m = k1.shape[0]
-    is_last = jnp.concatenate(
-        [(k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]), jnp.array([True])]
-    )
+    diff = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+    is_last = jnp.concatenate([diff, jnp.array([True])])
     is_last = is_last & (k1 < _IMAX)
-    cs = _chunked_scan(counts, jnp.add, 0)  # wrap-tolerant: only differences
-    idx = jnp.arange(m, dtype=jnp.int32)
-    prev_last_idx = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32),
-         _chunked_scan(jnp.where(is_last, idx, -1), jnp.maximum, -1)[:-1]]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)]
     )
-    prev_cs = jnp.where(
-        prev_last_idx >= 0,
-        jnp.take(cs, jnp.clip(prev_last_idx, 0, m - 1)),
-        0,
-    )
-    total = jnp.where(is_last, cs - prev_cs, 0)
+    seg = _chunked_segsum(counts, is_start)  # run totals at run ends
+    total = jnp.where(is_last, seg, 0)
     n_runs = jnp.sum(is_last.astype(jnp.int32))
     ok1 = jnp.where(is_last, k1, _IMAX)
     ok2 = jnp.where(is_last, k2, _IMAX)
