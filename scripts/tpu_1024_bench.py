@@ -17,23 +17,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
-from _fixtures import load_voronoi  # noqa: E402
-
-
-def build_1024():
-    img = load_voronoi(512, 3500, 1)
-    ncells = int(img.max()) - 1  # labels 2..max, background 1
-    big = np.empty((1024, 1024, 1024), np.uint16)
-    k = 0
-    for z in (0, 512):
-        for y in (0, 512):
-            for x in (0, 512):
-                oct_ = img.astype(np.uint16).copy()
-                cells = oct_ > 1
-                oct_[cells] += np.uint16(k * ncells)
-                big[z:z + 512, y:y + 512, x:x + 512] = oct_
-                k += 1
-    return big
+from _fixtures import load_tiled  # noqa: E402
 
 
 def main():
@@ -43,7 +27,7 @@ def main():
     from tissue_analysis_tpu.engine import analyze_stack_pallas
     from tissue_analysis_tpu.graph.from_image import graph_from_table
 
-    big = build_1024()
+    big = load_tiled(1024)
     stack = LabeledStack.from_array(big, background=1)
     np.asarray(stack.dense[0, 0, 0])  # fence the H2D transfer
 

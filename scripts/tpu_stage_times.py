@@ -43,7 +43,6 @@ if __name__ == "__main__":
     import jax.numpy as jnp
 
     from tissue_analysis_tpu.core.stack import LabeledStack
-    from tissue_analysis_tpu.core.synthetic import voronoi_stack
     from tissue_analysis_tpu.engine import (
         _GOOD_CFG,
         analyze_stack_pallas,
@@ -52,14 +51,13 @@ if __name__ == "__main__":
     )
     from tissue_analysis_tpu.ops import blocked, pallas_block
 
-    cache = f"/tmp/ta_bench_cache/voronoi_{size}_3500_1.npz"
-    if os.path.exists(cache):
-        with np.load(cache) as z:
-            img = z["img"]
-    else:
-        img = np.asarray(voronoi_stack((size,) * 3, 3500, seed=1))
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.savez_compressed(cache, img=img)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _fixtures import load_tiled, load_voronoi
+
+    # sizes above 512 use the tiled fixture (matches tpu_1024_bench /
+    # BASELINE.md's scale-up construction; a fresh EDT at 1024^3 costs
+    # ~10 min of 1-core host time)
+    img = load_tiled(size) if size > 512 else load_voronoi(size)
 
     stack = LabeledStack.from_array(img, background=1)
     fence(stack.dense[0, 0, 0])
