@@ -49,6 +49,10 @@ def run_case(name, img, background, pallas_cfg=None, blocked_cfg=None):
 
     stack = LabeledStack.from_array(np.asarray(img), background=background)
     np.asarray(stack.dense[0, 0, 0])  # fence transfer
+    # timestamped stage print: a wedged worker hangs with zero output —
+    # this says which case/stage a dead run died in
+    print(f"[{time.strftime('%H:%M:%S')}] {name}: transfer fenced",
+          flush=True)
 
     # TWO warmups (CLAUDE.md measurement discipline): run 1 converges the
     # buffer config, run 2 compiles the converged config; run 3 is honest

@@ -36,13 +36,21 @@ def main():
 
     stack = LabeledStack.from_array(img, background=1)
     np.asarray(stack.dense[0, 0])
+    # stage prints: a wedged worker hangs device calls with zero output —
+    # these timestamps say WHICH stage a dead run died in
+    print(f"[{time.strftime('%H:%M:%S')}] transfer fenced; pallas...",
+          flush=True)
 
     t0 = time.perf_counter()
     tp = analyze_stack_pallas(stack)
     tpal = time.perf_counter() - t0
+    print(f"[{time.strftime('%H:%M:%S')}] pallas done {tpal:.3f}s; blocked...",
+          flush=True)
     t0 = time.perf_counter()
     tb = analyze_stack_blocked(stack)
     tblk = time.perf_counter() - t0
+    print(f"[{time.strftime('%H:%M:%S')}] blocked done {tblk:.3f}s",
+          flush=True)
 
     fields = (
         "count", "s1", "s2", "cmin", "cmax", "pair_lo", "pair_hi",
