@@ -58,10 +58,13 @@ def main():
     k1 = np.full(max_entries, 2**31 - 1, np.int32)
     k2 = np.full(max_entries, 2**31 - 1, np.int32)
     tot = np.zeros(max_entries, np.int32)
-    order = np.lexsort((hi * 4 + ax, lo))
-    k1[: 3 * n_pairs] = lo[order]
-    k2[: 3 * n_pairs] = (hi * 4 + ax)[order]
-    tot[: 3 * n_pairs] = rng.integers(1, 500, size=3 * n_pairs)
+    # the device reduce emits UNIQUE sorted (lo, hi, axis) rows — dedupe the
+    # random triples so assemble_pairs takes its real (sorted-unique) branch
+    trip = np.unique(lo * (4 * n) + hi * 4 + ax)
+    n_live = trip.shape[0]
+    k1[:n_live] = trip // (4 * n)
+    k2[:n_live] = trip % (4 * n)
+    tot[:n_live] = rng.integers(1, 500, size=n_live)
 
     moments = t(
         "assemble_moments_pallas",

@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from tissue_analysis_tpu import native as _native
+
 __all__ = [
     "tri_pairs",
     "real_volume",
@@ -129,6 +131,19 @@ def _eigh3(A: np.ndarray):
     near-spherical cells where LAPACK's subspace handling matters).
     """
     m = A.shape[0]
+    res = _native.eigh3_batch(A) if m else None
+    if res is not None:
+        w, V, bad, n_bad = res
+        if n_bad:
+            # same recompute as the numpy path below: LAPACK on the
+            # magnitude-normalized rows, eigenvalues rescaled after
+            Ab = A[bad]
+            mag = np.abs(Ab).max(axis=(1, 2))
+            mags = np.where(mag > 0, mag, 1.0)
+            wb, Vb = np.linalg.eigh(Ab / mags[:, None, None])
+            w[bad] = wb * mags[:, None]
+            V[bad] = Vb
+        return w, V
     eye = np.eye(3, dtype=np.float64)
     # Per-row magnitude normalization: keeps the cross products below
     # overflow for any input scale (entries ~1e150 would square to inf).

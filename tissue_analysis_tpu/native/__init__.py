@@ -19,9 +19,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "relabel", "load"]
+__all__ = ["available", "relabel", "eigh3_batch", "load"]
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 _SRC = os.path.join(os.path.dirname(__file__), "relabel.cpp")
 
 _DTYPE_CODES = {
@@ -90,6 +90,11 @@ def load() -> Optional[ctypes.CDLL]:
         lib.ta_relabel.argtypes = argtypes
         lib.ta_relabel_u16.restype = ctypes.c_int64
         lib.ta_relabel_u16.argtypes = argtypes
+        lib.ta_eigh3.restype = ctypes.c_int64
+        lib.ta_eigh3.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.ta_native_abi_version.restype = ctypes.c_int64
         if lib.ta_native_abi_version() != _ABI_VERSION:
             raise OSError("stale native build")
@@ -153,3 +158,32 @@ def relabel(
         n_ids = int(res)
         bg = int(bg_seg.value)
         return dense, ids[:n_ids].copy(), (bg if bg >= 0 else None)
+
+
+def eigh3_batch(
+    A: np.ndarray,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Batched analytic symmetric 3×3 eigendecomposition (native path).
+
+    Returns ``(w [m,3] ascending, V [m,3,3] columns = eigenvectors,
+    bad [m] bool, n_bad)`` or None when the native library is unavailable.
+    ``bad`` rows (near-degenerate spectrum / degenerate cross products —
+    the same mask as ``features.finalize._eigh3``'s numpy path) carry
+    unreliable vectors and MUST be recomputed by the caller with LAPACK.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    m = A.shape[0]
+    w = np.empty((m, 3), dtype=np.float64)
+    V = np.empty((m, 3, 3), dtype=np.float64)
+    bad = np.empty(m, dtype=np.uint8)
+    n_bad = lib.ta_eigh3(
+        A.ctypes.data_as(ctypes.c_void_p),
+        m,
+        w.ctypes.data_as(ctypes.c_void_p),
+        V.ctypes.data_as(ctypes.c_void_p),
+        bad.ctypes.data_as(ctypes.c_void_p),
+    )
+    return w, V, bad.view(bool), int(n_bad)

@@ -20,6 +20,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -255,7 +256,128 @@ int64_t ta_relabel_u16(const void* in, int64_t n, int dtype_code,
                      ids_out, max_ids, bg_segment_out);
 }
 
+// Batched symmetric 3x3 eigendecomposition — the analytic algorithm of
+// features/finalize.py::_eigh3 (Cardano eigenvalues, cross-product
+// eigenvectors), one scalar pass per matrix instead of ~40 whole-batch
+// numpy passes (measured 2.6 ms -> ~0.1 ms for the 2k-label 512^3 graph
+// export, the single largest host property cost). Ill-conditioned rows
+// (near-degenerate spectrum / degenerate cross products) are only FLAGGED
+// in bad_out — the Python caller recomputes them with LAPACK, exactly as
+// the numpy path does. Returns the number of flagged rows.
+int64_t ta_eigh3(const double* A, int64_t m, double* w_out, double* V_out,
+                 uint8_t* bad_out) {
+  int64_t nbad = 0;
+#pragma omp parallel for schedule(static) reduction(+ : nbad)
+  for (int64_t r = 0; r < m; ++r) {
+    const double* a9 = A + 9 * r;
+    double mag = 0.0;
+    for (int i = 0; i < 9; ++i) {
+      double v = std::fabs(a9[i]);
+      if (v > mag) mag = v;
+    }
+    const double mags = mag > 0.0 ? mag : 1.0;
+    double a[3][3];
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) a[i][j] = a9[3 * i + j] / mags;
+
+    const double q = (a[0][0] + a[1][1] + a[2][2]) / 3.0;
+    double B[3][3];
+    double ss = 0.0;
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) {
+        B[i][j] = a[i][j] - (i == j ? q : 0.0);
+        ss += B[i][j] * B[i][j];
+      }
+    const double p = std::sqrt(ss / 6.0);
+    const double ps = p > 0.0 ? p : 1.0;
+    double Bn[3][3];
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) Bn[i][j] = B[i][j] / ps;
+    const double det =
+        Bn[0][0] * (Bn[1][1] * Bn[2][2] - Bn[1][2] * Bn[1][2]) -
+        Bn[0][1] * (Bn[0][1] * Bn[2][2] - Bn[1][2] * Bn[0][2]) +
+        Bn[0][2] * (Bn[0][1] * Bn[1][2] - Bn[1][1] * Bn[0][2]);
+    double half = det / 2.0;
+    if (half > 1.0) half = 1.0;
+    if (half < -1.0) half = -1.0;
+    const double phi = std::acos(half) / 3.0;
+    const double TWO_PI_3 = 2.0943951023931953;  // 2*pi/3
+    const double w2 = q + 2.0 * p * std::cos(phi);
+    const double w0 = q + 2.0 * p * std::cos(phi + TWO_PI_3);
+    const double w1 = 3.0 * q - w2 - w0;
+
+    // eigenvector for lam: the largest cross product of two rows of
+    // (a - lam I); first index wins ties, matching np.argmax
+    double v0[3], v1[3], v2[3];
+    double n0 = 0.0, n2 = 0.0;
+    for (int which = 0; which < 2; ++which) {
+      const double lam = which == 0 ? w0 : w2;
+      double M[3][3];
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) M[i][j] = a[i][j] - (i == j ? lam : 0.0);
+      double C[3][3];
+      C[0][0] = M[1][1] * M[2][2] - M[1][2] * M[2][1];
+      C[0][1] = M[1][2] * M[2][0] - M[1][0] * M[2][2];
+      C[0][2] = M[1][0] * M[2][1] - M[1][1] * M[2][0];
+      C[1][0] = M[2][1] * M[0][2] - M[2][2] * M[0][1];
+      C[1][1] = M[2][2] * M[0][0] - M[2][0] * M[0][2];
+      C[1][2] = M[2][0] * M[0][1] - M[2][1] * M[0][0];
+      C[2][0] = M[0][1] * M[1][2] - M[0][2] * M[1][1];
+      C[2][1] = M[0][2] * M[1][0] - M[0][0] * M[1][2];
+      C[2][2] = M[0][0] * M[1][1] - M[0][1] * M[1][0];
+      int pick = 0;
+      double best = -1.0;
+      for (int c = 0; c < 3; ++c) {
+        const double nsq =
+            C[c][0] * C[c][0] + C[c][1] * C[c][1] + C[c][2] * C[c][2];
+        if (nsq > best) {
+          best = nsq;
+          pick = c;
+        }
+      }
+      const double nrm = std::sqrt(best);
+      const double div = nrm > 0.0 ? nrm : 1.0;
+      double* v = which == 0 ? v0 : v2;
+      for (int i = 0; i < 3; ++i) v[i] = C[pick][i] / div;
+      if (which == 0)
+        n0 = nrm;
+      else
+        n2 = nrm;
+    }
+    v1[0] = v2[1] * v0[2] - v2[2] * v0[1];
+    v1[1] = v2[2] * v0[0] - v2[0] * v0[2];
+    v1[2] = v2[0] * v0[1] - v2[1] * v0[0];
+    const double n1 =
+        std::sqrt(v1[0] * v1[0] + v1[1] * v1[1] + v1[2] * v1[2]);
+    const double d1 = n1 > 0.0 ? n1 : 1.0;
+    for (int i = 0; i < 3; ++i) v1[i] /= d1;
+
+    double wmax = std::fabs(w0);
+    if (std::fabs(w1) > wmax) wmax = std::fabs(w1);
+    if (std::fabs(w2) > wmax) wmax = std::fabs(w2);
+    const double scale = wmax > 1e-300 ? wmax : 1e-300;
+    const double gap = std::min(w1 - w0, w2 - w1);
+    const bool finite =
+        std::isfinite(w0) && std::isfinite(w1) && std::isfinite(w2);
+    const bool bad =
+        (gap <= 1e-5 * scale) || n0 == 0.0 || n2 == 0.0 || n1 < 0.5 || !finite;
+    bad_out[r] = bad ? 1 : 0;
+    if (bad) ++nbad;
+
+    w_out[3 * r + 0] = w0 * mags;
+    w_out[3 * r + 1] = w1 * mags;
+    w_out[3 * r + 2] = w2 * mags;
+    double* Vr = V_out + 9 * r;  // V[i][axis]: columns are eigenvectors
+    for (int i = 0; i < 3; ++i) {
+      Vr[3 * i + 0] = v0[i];
+      Vr[3 * i + 1] = v1[i];
+      Vr[3 * i + 2] = v2[i];
+    }
+  }
+  return nbad;
+}
+
 // Version tag so the Python side can invalidate stale cached builds.
-int64_t ta_native_abi_version() { return 2; }
+int64_t ta_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -935,9 +935,31 @@ def assemble_pairs(
     ax = rest & 3
     # pair order = ascending (lo, hi), matching the device sort
     gk = (lo << 32) | hi
-    uniq, inv = np.unique(gk, return_inverse=True)
-    counts3 = np.zeros((uniq.shape[0], 3), dtype=np.int64)
-    np.add.at(counts3, (inv, ax), total[valid].astype(np.int64))
+    tot = total[valid].astype(np.int64)
+    # The device reduce emits ONE row per (lo, hi, axis), already sorted —
+    # when that holds (strictly increasing (gk, ax)), run boundaries come
+    # from a diff and the per-axis fill is a direct assignment: no
+    # O(m log m) np.unique re-sort and no buffered np.add.at scatter
+    # (~2 ms -> ~0.3 ms at the 512³ bench's 42k rows; the gap widens with
+    # label count). Host-side multi-slab merges may carry duplicates and
+    # take the general branch below.
+    m = gk.shape[0]
+    strict = m == 0 or bool(
+        np.all((gk[1:] > gk[:-1]) | ((gk[1:] == gk[:-1]) & (ax[1:] > ax[:-1])))
+    )
+    if strict:
+        starts = np.empty(m, dtype=bool)
+        if m:
+            starts[0] = True
+            np.not_equal(gk[1:], gk[:-1], out=starts[1:])
+        inv = np.cumsum(starts) - 1
+        uniq = gk[starts]
+        counts3 = np.zeros((uniq.shape[0], 3), dtype=np.int64)
+        counts3[inv, ax] = tot
+    else:
+        uniq, inv = np.unique(gk, return_inverse=True)
+        counts3 = np.zeros((uniq.shape[0], 3), dtype=np.int64)
+        np.add.at(counts3, (inv, ax), tot)
     return (
         (uniq >> 32).astype(np.int32),
         (uniq & 0xFFFFFFFF).astype(np.int32),
