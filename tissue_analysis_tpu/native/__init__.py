@@ -19,7 +19,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "relabel", "eigh3_batch", "load"]
+# eigh3_batch is intentionally NOT exported: its contract (``bad`` rows
+# carry unreliable vectors and MUST be LAPACK-recomputed) is fulfilled by
+# features.finalize._eigh3, the only supported caller (ADVICE r3 #3)
+__all__ = ["available", "relabel", "load"]
 
 _ABI_VERSION = 3
 _SRC = os.path.join(os.path.dirname(__file__), "relabel.cpp")
@@ -37,9 +40,19 @@ _lib = None
 _load_failed = False
 
 
+# -ffp-contract=off: no FMA contraction, so ta_eigh3 matches the numpy
+# analytic path bit-for-bit across hosts (ADVICE r3 #2); relabel is pure
+# integer code and loses nothing
+_CXX_FLAGS = [
+    "-O3", "-march=native", "-ffp-contract=off", "-fopenmp", "-shared",
+    "-fPIC", "-std=c++17",
+]
+
+
 def _cache_path() -> str:
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        payload = f.read() + " ".join(_CXX_FLAGS).encode()
+        digest = hashlib.sha256(payload).hexdigest()[:16]
     cache_dir = os.environ.get(
         "TA_NATIVE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "tissue_analysis_tpu"),
@@ -53,10 +66,7 @@ def _build(so_path: str) -> bool:
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "ta_native.so")
             subprocess.run(
-                [
-                    "g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                    "-fPIC", "-std=c++17", _SRC, "-o", tmp,
-                ],
+                ["g++", *_CXX_FLAGS, _SRC, "-o", tmp],
                 check=True,
                 capture_output=True,
                 timeout=180,
@@ -99,7 +109,10 @@ def load() -> Optional[ctypes.CDLL]:
         if lib.ta_native_abi_version() != _ABI_VERSION:
             raise OSError("stale native build")
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a cached .so missing a symbol (possible only if
+        # the digest/ABI guards are ever weakened) must also fall back to
+        # numpy instead of crashing (ADVICE r3 #1)
         _load_failed = True
         return None
     return _lib
