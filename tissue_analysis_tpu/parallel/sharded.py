@@ -374,11 +374,7 @@ def analyze_sharded_pallas(
             table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
         ) = jax.device_get(out)
         if bool(dovf):
-            cfg = dataclasses.replace(
-                cfg,
-                max_labels_per_block=cfg.max_labels_per_block * 2,
-                seam_max_labels=cfg.seam_max_labels * 2,
-            )
+            cfg = pallas_block.grow_dict(cfg)
             continue
         if bool(povf):
             kp = cfg.max_pairs_per_block

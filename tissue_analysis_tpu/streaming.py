@@ -531,11 +531,9 @@ def analyze_streamed(
 def _grow_cfg(engine: str, cfg, dovf: bool, povf: bool, n_runs: int):
     if engine == "pallas":
         if dovf:
-            return dataclasses.replace(
-                cfg,
-                max_labels_per_block=cfg.max_labels_per_block * 2,
-                seam_max_labels=cfg.seam_max_labels * 2,
-            )
+            from tissue_analysis_tpu.ops import pallas_block
+
+            return pallas_block.grow_dict(cfg)
         if povf:
             kp = cfg.max_pairs_per_block
             kp = tuple(k * 4 for k in kp) if isinstance(kp, tuple) else kp * 4
