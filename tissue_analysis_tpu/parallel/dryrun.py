@@ -77,7 +77,7 @@ def run(n_devices: int) -> None:
     # interior block boundary and all 7 seams see real cell crossings —
     # covering seam dedup and buffer convergence under load, not just the
     # toy pad path.
-    img2 = voronoi_stack((120, 16, 128), 400, seed=7)
+    img2 = voronoi_stack((120, 16, 128), 400, seed=7, sphere=False)
     stack2 = LabeledStack.from_array(np.asarray(img2), background=1)
     t2_single = analyze_stack(stack2)
 
