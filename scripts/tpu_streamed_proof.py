@@ -14,6 +14,9 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+# timestamped per-slab stage prints: a stalled compile/transfer on the
+# tunneled TPU is otherwise silent for its whole (possibly 1 h) run
+os.environ.setdefault("TA_STAGE_VERBOSE", "1")
 
 import numpy as np
 

@@ -17,6 +17,7 @@ Collection is zero-overhead when inactive (module-level flag check only).
 from __future__ import annotations
 
 import contextlib
+import os
 import dataclasses
 import threading
 import time
@@ -79,16 +80,31 @@ def collect():
 
 @contextlib.contextmanager
 def stage(name: str, voxels: Optional[int] = None):
-    """Record one pipeline stage into the active collector (no-op if none)."""
+    """Record one pipeline stage into the active collector (no-op if none).
+
+    ``TA_STAGE_VERBOSE=1`` additionally prints a timestamped line as each
+    stage enters and leaves — the reference's ``verbose=True`` analogue,
+    and the hang-diagnosis channel for long tunneled-TPU runs (a stalled
+    Mosaic compile or relay transfer is otherwise silent for minutes)."""
+    verbose = os.environ.get("TA_STAGE_VERBOSE")
     t: Optional[Timings] = getattr(_tls, "timings", None)
-    if t is None:
+    if t is None and not verbose:
         yield
         return
+    if verbose:
+        print(time.strftime("[%H:%M:%S]"), "stage:", name, flush=True)
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        t.add(name, time.perf_counter() - t0, voxels)
+        dt = time.perf_counter() - t0
+        if verbose:
+            print(
+                time.strftime("[%H:%M:%S]"), f"stage done ({dt:.3f}s):",
+                name, flush=True,
+            )
+        if t is not None:
+            t.add(name, dt, voxels)
 
 
 @contextlib.contextmanager
