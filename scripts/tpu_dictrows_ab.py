@@ -52,8 +52,18 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    variants = [
+        ("chain", 0, False, True),
+        ("rows7", 7, False, True),
+        ("rows7_sep", 7, True, True),
+        ("rows1_p1only", 1, False, False),  # restack + 1 step + fixed
+        ("rows7_p1only", 7, False, False),  # phase-1 alone
+        ("rows7_sep_p1only", 7, True, False),
+    ]
     ids_ab = {}
-    for dr in (0, 7):
+    for name, dr, sep, p2 in variants:
+        pallas_block._ROWS_SEP = sep
+        pallas_block._ROWS_PHASE2 = p2
         cfg = pallas_block.PallasConfig(dict_rows=dr)
 
         def grid_only(dense):
@@ -69,25 +79,29 @@ def main():
             )
 
         gj = jax.jit(lambda d: grid_only(d)[0][0, 0])
-        stamp(f"compiling grid dict_rows={dr}")
+        stamp(f"compiling grid {name}")
         t = timeit(lambda: fence(gj(stack.dense)))
-        stamp(f"grid dict_rows={dr}: {t:.4f}s")
-        print(json.dumps({"dict_rows": dr, "grid_s": round(t, 4)}),
+        stamp(f"grid {name}: {t:.4f}s")
+        print(json.dumps({"variant": name, "grid_s": round(t, 4)}),
               flush=True)
-        idsj = jax.jit(lambda d: grid_only(d)[0])
-        ids_ab[dr] = fence(idsj(stack.dense))
-        dovf = bool(fence(jax.jit(lambda d: grid_only(d)[7].any())(
-            stack.dense)))
-        stamp(f"dict_rows={dr} dovf={dovf}")
+        if p2:
+            idsj = jax.jit(lambda d: grid_only(d)[0])
+            ids_ab[name] = fence(idsj(stack.dense))
+            dovf = bool(fence(jax.jit(lambda d: grid_only(d)[7].any())(
+                stack.dense)))
+            stamp(f"{name} dovf={dovf}")
+    pallas_block._ROWS_SEP = False
+    pallas_block._ROWS_PHASE2 = True
 
-    eq = np.array_equal(ids_ab[0], ids_ab[7])
+    eq = all(
+        np.array_equal(ids_ab["chain"], v)
+        for k, v in ids_ab.items() if k != "chain"
+    )
     print(json.dumps({"ids_bit_equal": bool(eq)}), flush=True)
     if not eq:
-        diff = np.nonzero((ids_ab[0] != ids_ab[7]).any(axis=1))[0]
-        stamp(f"ids differ in {diff.size} blocks, first {diff[:5]}")
         return
 
-    if not os.environ.get("AB_GRID_ONLY"):
+    if os.environ.get("AB_FULL"):
         import dataclasses
 
         from tissue_analysis_tpu.engine import _GOOD_CFG, analyze_stack_pallas

@@ -82,6 +82,10 @@ _QSHIFT = 9  # offset-product split in the reconstruction
 # extraction chain at this many steps (results become incomplete and the
 # overflow flag fires — never set outside perf-attribution scripts).
 _DICT_STEPS = None
+# timing-only A/B knobs for `_dict_extract_rows` (results garbage when
+# _ROWS_PHASE2 is False — same contract as _DICT_STEPS):
+_ROWS_PHASE2 = True  # False: skip the phase-2 chain (time phase 1 alone)
+_ROWS_SEP = False  # True: separate min/max reductions (no in-loop concat)
 
 # Dictionary partition width: labels are hashed into G groups extracted
 # independently, so the serial extraction chain is L/(2G) dependent steps
@@ -256,18 +260,28 @@ def _dict_extract_rows(v_all, L, n, steps, P: int = 1):
         axis=0,
     )
     M = rows.shape[0]
-    stacked = jnp.concatenate([rows, -rows], axis=0)  # [2M, 128]
     msk = jnp.where(rows < n, 1, 0)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (M, 2 * steps), 1)
     cand = jnp.full((M, 2 * steps), _IMAX, jnp.int32)
+    if not _ROWS_SEP:
+        stacked = jnp.concatenate([rows, -rows], axis=0)  # [2M, 128]
     for s in range(steps):
-        msks = jnp.concatenate([msk, msk], axis=0)
-        ext = jnp.min(
-            jnp.where(msks != 0, stacked, _IMAX), axis=1, keepdims=True
-        )  # [2M, 1]
-        m = ext[:M]
-        x = -ext[M:]
-        # empty row: m = _IMAX, x = -_IMAX -> both guards write _IMAX;
+        if _ROWS_SEP:
+            m = jnp.min(
+                jnp.where(msk != 0, rows, _IMAX), axis=1, keepdims=True
+            )
+            x = jnp.max(
+                jnp.where(msk != 0, rows, -1), axis=1, keepdims=True
+            )
+            x = jnp.where(x < 0, _IMAX - 1, x)  # empty row -> no max cand
+        else:
+            msks = jnp.concatenate([msk, msk], axis=0)
+            ext = jnp.min(
+                jnp.where(msks != 0, stacked, _IMAX), axis=1, keepdims=True
+            )  # [2M, 1]
+            m = ext[:M]
+            x = -ext[M:]
+        # empty row: m = _IMAX, x < m -> both guards write _IMAX;
         # single remaining value: x == m -> max slot stays _IMAX (no
         # duplicate candidates within a row)
         cand = jnp.where(lane_c == 2 * s, m, cand)
@@ -276,6 +290,9 @@ def _dict_extract_rows(v_all, L, n, steps, P: int = 1):
         )
         msk = jnp.where((rows == m) | (rows == x), 0, msk)
     ovf1 = jnp.any(msk != 0).astype(jnp.int32)
+    if not _ROWS_PHASE2:  # timing-only: skip the chain (garbage ids)
+        ids = cand[:P * L, :1]
+        return ids, jnp.broadcast_to(ovf1.reshape(1, 1), (P * L, 1))
     ids, ovf2 = _dict_extract(cand, L, n, P)
     return ids, jnp.maximum(ovf2, ovf1)
 
