@@ -54,11 +54,10 @@ def main():
     s3 = jax.jit(lambda a, b, c: jax.lax.sort((a, b, c), num_keys=2))
     emit("sort_3op_2key", lambda: fence(s3(k, ct, ct)[0][12345]))
 
-    csj = jax.jit(lambda b: blocked._chunked_scan(b, jnp.add, 0))
-    emit("chunked_cumsum", lambda: fence(csj(ct)[12345]))
-
-    cmj = jax.jit(lambda b: blocked._chunked_scan(b, jnp.maximum, -1))
-    emit("chunked_cummax", lambda: fence(cmj(ct)[12345]))
+    csj = jax.jit(
+        lambda b: blocked._chunked_segsum(b, jnp.zeros_like(b).at[::64].set(1))
+    )
+    emit("chunked_segsum", lambda: fence(csj(ct)[12345]))
 
     npc = jax.jit(lambda b: jnp.cumsum(b))
     emit("flat_cumsum", lambda: fence(npc(ct)[12345]))
