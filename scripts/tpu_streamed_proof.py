@@ -6,6 +6,9 @@ base stack's.
 Usage: python scripts/tpu_streamed_proof.py [tiles_per_axis] [base_cells]
 Default 3 (1536^3, 3.4 Gvox, ~55k labels, uint16). 4 -> 2048^3 (8.6 Gvox,
 17 GB > v5e HBM) needs base_cells <= ~1000 to keep labels under 2^16.
+STREAM_TILES=tz,ty,tx overrides the cubic tiling (e.g. 16,2,2 ->
+(8192, 1024, 1024), 8.6 Gvox / 17 GB > HBM with 1024-wide slabs — the
+slab program scale already proven by the resident 1024^3 bench).
 """
 
 import json
@@ -40,7 +43,10 @@ def main():
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         np.savez_compressed(cache, img=base)
 
-    src = TiledSource(base, (t_axis, t_axis, t_axis), background=1)
+    tiles = (t_axis, t_axis, t_axis)
+    if os.environ.get("STREAM_TILES"):
+        tiles = tuple(int(v) for v in os.environ["STREAM_TILES"].split(","))
+    src = TiledSource(base, tiles, background=1)
     print(
         f"streaming {src.shape} ({np.prod(src.shape)/1e9:.2f} Gvox, "
         f"dtype {src.dtype})",
@@ -55,7 +61,8 @@ def main():
     assert int(table.count.sum()) == int(np.prod(src.shape))
     t_base = analyze_stack(LabeledStack.from_array(base, background=1))
     stride = src.stride
-    n_tiles = t_axis**3
+    tz_n, ty_n, tx_n = tiles
+    n_tiles = tz_n * ty_n * tx_n
     checked = 0
     for s, l in enumerate(t_base.ids):
         if t_base.margin[s] or int(l) == 1:
@@ -67,7 +74,7 @@ def main():
             assert table.count[s2] == t_base.count[s]
             # barycenter shifts by exactly the tile offset: s1 moments obey
             # s1_tile = s1_base + count * offset (exact ints)
-            tz, iy, ix = k // (t_axis * t_axis), (k // t_axis) % t_axis, k % t_axis
+            tz, iy, ix = k // (ty_n * tx_n), (k // tx_n) % ty_n, k % tx_n
             off = np.array([tz, iy, ix], np.int64) * 512
             np.testing.assert_array_equal(
                 table.s1[s2], t_base.s1[s] + t_base.count[s] * off
