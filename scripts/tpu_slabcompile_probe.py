@@ -1,0 +1,77 @@
+"""Bisect the Gvox-slab compile stall: time the COMPILE of (1) grid-only
+(_pallas_main_pass) and (2) the full streaming slab program, at the shape
+that hung the streamed proofs — on a synthetic slab so no base fixture is
+needed. Each piece is compiled via .lower().compile() with timestamps;
+run under the queue's ITEM_TIMEOUT so a never-returning compile is
+bounded and the log shows exactly which piece stalled.
+
+Usage: python scripts/tpu_slabcompile_probe.py [Z Y X [n]]
+Default 128 1536 1536 62101.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+
+
+def stamp(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import pallas_block
+    from tissue_analysis_tpu.ops.blocked import _pad_to_blocks
+
+    args = [int(a) for a in sys.argv[1:]]
+    Z, Y, X = (args + [128, 1536, 1536])[:3]
+    n = args[3] if len(args) > 3 else 62101
+    cfg = pallas_block.PallasConfig()
+    L = cfg.max_labels_per_block
+    shape = (Z, Y, X)
+    spec = jax.ShapeDtypeStruct(shape, jnp.uint16)
+
+    def grid_only(dense):
+        padded = _pad_to_blocks(dense, n, cfg.block)
+        offs = jnp.asarray(
+            pallas_block._block_offsets_np(padded.shape, cfg.block)
+        )
+        out = pallas_block._pallas_main_pass(
+            padded, cfg.block, L, n, False, offs=offs
+        )
+        return out[0][0, 0]
+
+    stamp(f"lowering grid-only {shape} n={n}")
+    t0 = time.perf_counter()
+    lowered = jax.jit(grid_only).lower(spec)
+    stamp(f"lowered ({time.perf_counter()-t0:.1f}s); compiling grid-only")
+    t0 = time.perf_counter()
+    lowered.compile()
+    stamp(f"grid-only COMPILED in {time.perf_counter()-t0:.1f}s")
+
+    # padded GLOBAL shape (the streamed pipeline compiles slabs with the
+    # global wide flag); slab itself is the full cross-section
+    wide = pallas_block._check_static_pallas(shape, n, cfg)
+    stamp(f"wide={wide}; building full slab fn")
+    slab = pallas_block.build_pallas_slab_fn(shape, n, cfg, False, wide=wide)
+    stamp("lowering full slab fn")
+    t0 = time.perf_counter()
+    # z_off traced (the streamed pipeline reuses ONE slab compile across
+    # slabs with different offsets)
+    lowered2 = jax.jit(lambda d, z: slab(d, z)[0][0, 0]).lower(
+        spec, jax.ShapeDtypeStruct((), jnp.int32)
+    )
+    stamp(f"lowered ({time.perf_counter()-t0:.1f}s); compiling full slab")
+    t0 = time.perf_counter()
+    lowered2.compile()
+    stamp(f"full slab COMPILED in {time.perf_counter()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
