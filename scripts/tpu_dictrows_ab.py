@@ -53,17 +53,18 @@ def main():
         return best
 
     variants = [
-        ("chain", 0, False, True),
-        ("rows7", 7, False, True),
-        ("rows7_sep", 7, True, True),
-        ("rows1_p1only", 1, False, False),  # restack + 1 step + fixed
-        ("rows7_p1only", 7, False, False),  # phase-1 alone
-        ("rows7_sep_p1only", 7, True, False),
+        ("chain", 0, False, True, False),
+        ("chain_vec", 0, False, True, True),  # vectorized band-collapse
+        ("rows7", 7, False, True, False),
+        ("rows7_sep", 7, True, True, False),
+        ("rows1_p1only", 1, False, False, False),  # restack + 1 step + fixed
+        ("rows7_p1only", 7, False, False, False),  # phase-1 alone
     ]
     ids_ab = {}
-    for name, dr, sep, p2 in variants:
+    for name, dr, sep, p2, vec in variants:
         pallas_block._ROWS_SEP = sep
         pallas_block._ROWS_PHASE2 = p2
+        pallas_block._CHAIN_VEC = vec
         cfg = pallas_block.PallasConfig(dict_rows=dr)
 
         def grid_only(dense):
@@ -92,6 +93,7 @@ def main():
             stamp(f"{name} dovf={dovf}")
     pallas_block._ROWS_SEP = False
     pallas_block._ROWS_PHASE2 = True
+    pallas_block._CHAIN_VEC = False
 
     eq = all(
         np.array_equal(ids_ab["chain"], v)

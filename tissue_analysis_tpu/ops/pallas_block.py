@@ -86,6 +86,7 @@ _DICT_STEPS = None
 # _ROWS_PHASE2 is False — same contract as _DICT_STEPS):
 _ROWS_PHASE2 = True  # False: skip the phase-2 chain (time phase 1 alone)
 _ROWS_SEP = False  # True: separate min/max reductions (no in-loop concat)
+_CHAIN_VEC = False  # True: vectorized band-collapse chain (A/B; P=1, G=2)
 
 # Dictionary partition width: labels are hashed into G groups extracted
 # independently, so the serial extraction chain is L/(2G) dependent steps
@@ -138,6 +139,8 @@ def _dict_extract(v_all, L, n, P: int = 1):
     rows p·L..(p+1)·L-1 — and ovf [P·L, 1], the step-global overflow
     flag: any block overflowing triggers the same host retry).
     """
+    if _CHAIN_VEC and P == 1 and _DICT_GROUPS == 2 and L % 4 == 0:
+        return _dict_extract_vec(v_all, L, n)
     G = _DICT_GROUPS
     # degrade for small L (overflow-path tests use L down to 4): largest
     # power-of-two group count <= _DICT_GROUPS with whole slot segments
@@ -213,6 +216,109 @@ def _dict_extract(v_all, L, n, P: int = 1):
         jnp.any(msk != 0).astype(jnp.int32).reshape(1, 1), (P * L, 1)
     )
     return ids, ovf
+
+
+def _dict_extract_vec(v_all, L, n):
+    """Vectorized band-collapse variant of the serial chain (A/B leg).
+
+    Identical extraction ORDER to `_dict_extract` at G=2/P=1 — same
+    min/max per hash group per step, same ``x > m`` dedupe guard, same
+    slot positions — so ids are bit-identical. The difference is purely
+    how per-band extremes are materialized: the chain pulls 2G SCALARS
+    out of vregs per step (sublane+lane collapse, scalar broadcast back
+    — the measured ~2.8 ms/step fixed cost, `tpu_dictrows_ab.py` round
+    4), while this keeps them as [4R, 1] VECTORS via masked bidirectional
+    sublane-roll reductions, and assembles the [L, 1] ids once at the end
+    with a diagonal lane select. Roll masks are static (band layout is
+    static); band rows are contiguous so distances 1/2/4/8 with both
+    directions cover any band of <= 16 rows with all path intermediates
+    in-band.
+    """
+    R = v_all.shape[0]
+    K8 = v_all.shape[1]
+    assert R <= 16, "band roll-reduce covers <= 16 rows"
+    G = 2
+    seg = L // G
+    full_steps = seg // 2
+    steps = (
+        full_steps if _DICT_STEPS is None else min(_DICT_STEPS, full_steps)
+    )
+    M4 = 4 * R
+    mask = v_all < n
+    gid = jax.lax.shift_right_logical(
+        (v_all.astype(jnp.uint32) * jnp.uint32(2654435761)),
+        jnp.uint32(31),
+    ).astype(jnp.int32)
+    m0 = jnp.where(mask & (gid == 0), 1, 0)
+    m1 = jnp.where(mask & (gid == 1), 1, 0)
+    vpm = jnp.concatenate([v_all, -v_all, v_all, -v_all], axis=0)
+    vv = jnp.concatenate([v_all] * 4, axis=0)
+    msk = jnp.concatenate([m0, m0, m1, m1], axis=0)  # [4R, K8] int32
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (M4, 1), 0)
+    band = iota4 // R
+    odd = (band % 2) == 1
+    # static roll source-band masks
+    same_masks = []
+    ir = np.arange(M4)
+    for d in (1, 2, 4, 8):
+        if d >= R:
+            break
+        fwd = ((ir - d) % M4) // R == (ir // R)
+        bwd = ((ir + d) % M4) // R == (ir // R)
+        same_masks.append(
+            (d, jnp.asarray(fwd.reshape(-1, 1)), jnp.asarray(bwd.reshape(-1, 1)))
+        )
+
+    def band_allmin(col):
+        x = col
+        for d, fm, bm in same_masks:
+            x = jnp.minimum(
+                x, jnp.where(fm, pltpu.roll(x, d, 0), _IMAX)
+            )
+            x = jnp.minimum(
+                x, jnp.where(bm, pltpu.roll(x, -d, 0), _IMAX)
+            )
+        return x
+
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (M4, 2 * steps), 1)
+    cand = jnp.full((M4, 2 * steps), _IMAX, jnp.int32)
+    for l in range(steps):
+        rowmin = jnp.min(
+            jnp.where(msk != 0, vpm, _IMAX), axis=1, keepdims=True
+        )  # [4R, 1]
+        bmin = band_allmin(rowmin)
+        # band-pair alignment: every row gets its GROUP's min (from the
+        # even band) and max (negated, from the odd band)
+        mb = jnp.where(odd, pltpu.roll(bmin, R, 0), bmin)
+        xb = -jnp.where(odd, bmin, pltpu.roll(bmin, -R, 0))
+        cand = jnp.where(lane_c == 2 * l, mb, cand)
+        cand = jnp.where(
+            lane_c == 2 * l + 1, jnp.where(xb > mb, xb, _IMAX), cand
+        )
+        msk = jnp.where((vv == mb) | (vv == xb), 0, msk)
+    ovf = jnp.any(msk != 0).astype(jnp.int32)
+    # ids assembly: rows of band 2g all hold group g's extremes; tile the
+    # R rows up to seg and select the step's column on the diagonal
+    blocks = []
+    for g in range(G):
+        bandrows = cand[2 * g * R:(2 * g + 1) * R]
+        reps = -(-seg // R)
+        blocks.append(jnp.concatenate([bandrows] * reps, axis=0)[:seg])
+    cand_al = jnp.concatenate(blocks, axis=0)  # [L, 2*steps]
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * steps), 0) % seg
+    colpos = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * steps), 1)
+    colsel = jnp.where(
+        rowpos < steps, 2 * rowpos, 2 * (seg - 1 - rowpos) + 1
+    )
+    haspick = (rowpos < steps) | (rowpos >= seg - steps)
+    pick = (colpos == colsel) & haspick
+    ids = jnp.sum(
+        jnp.where(pick, cand_al, 0), axis=1, keepdims=True, dtype=jnp.int32
+    )
+    ids = jnp.where(
+        (rowpos[:, :1] < steps) | (rowpos[:, :1] >= seg - steps), ids, _IMAX
+    )
+    return ids, jnp.broadcast_to(ovf.reshape(1, 1), (L, 1))
 
 
 def _dict_extract_rows(v_all, L, n, steps, P: int = 1):
