@@ -270,13 +270,16 @@ def _dict_extract_vec(v_all, L, n):
         )
 
     def band_allmin(col):
+        # backward rolls as cyclic complements: pltpu.roll rejects
+        # negative shifts on the hardware lowering path (interpret mode
+        # accepts them — same trap class as CLAUDE.md's lane-concat)
         x = col
         for d, fm, bm in same_masks:
             x = jnp.minimum(
                 x, jnp.where(fm, pltpu.roll(x, d, 0), _IMAX)
             )
             x = jnp.minimum(
-                x, jnp.where(bm, pltpu.roll(x, -d, 0), _IMAX)
+                x, jnp.where(bm, pltpu.roll(x, M4 - d, 0), _IMAX)
             )
         return x
 
@@ -290,7 +293,7 @@ def _dict_extract_vec(v_all, L, n):
         # band-pair alignment: every row gets its GROUP's min (from the
         # even band) and max (negated, from the odd band)
         mb = jnp.where(odd, pltpu.roll(bmin, R, 0), bmin)
-        xb = -jnp.where(odd, bmin, pltpu.roll(bmin, -R, 0))
+        xb = -jnp.where(odd, bmin, pltpu.roll(bmin, M4 - R, 0))
         cand = jnp.where(lane_c == 2 * l, mb, cand)
         cand = jnp.where(
             lane_c == 2 * l + 1, jnp.where(xb > mb, xb, _IMAX), cand
