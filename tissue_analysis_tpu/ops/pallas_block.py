@@ -257,17 +257,17 @@ def _dict_extract_vec(v_all, L, n):
     iota4 = jax.lax.broadcasted_iota(jnp.int32, (M4, 1), 0)
     band = iota4 // R
     odd = (band % 2) == 1
-    # static roll source-band masks
-    same_masks = []
-    ir = np.arange(M4)
-    for d in (1, 2, 4, 8):
-        if d >= R:
-            break
-        fwd = ((ir - d) % M4) // R == (ir // R)
-        bwd = ((ir + d) % M4) // R == (ir // R)
-        same_masks.append(
-            (d, jnp.asarray(fwd.reshape(-1, 1)), jnp.asarray(bwd.reshape(-1, 1)))
+    # roll source-band masks from iota arithmetic: pallas kernels may not
+    # capture host-built constants, so derive them traced
+    dists = [d for d in (1, 2, 4, 8) if d < R]
+    same_masks = [
+        (
+            d,
+            ((iota4 + (M4 - d)) % M4) // R == band,
+            ((iota4 + d) % M4) // R == band,
         )
+        for d in dists
+    ]
 
     def band_allmin(col):
         # backward rolls as cyclic complements: pltpu.roll rejects
