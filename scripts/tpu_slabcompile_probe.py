@@ -37,6 +37,13 @@ def main():
     shape = (Z, Y, X)
     spec = jax.ShapeDtypeStruct(shape, jnp.uint16)
 
+    def touch(tree):
+        # defeat DCE: every leaf contributes to the fetched scalar —
+        # fetching one element would let XLA prune the whole program
+        # (the round-4 first probe's mistake)
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
     def grid_only(dense):
         padded = _pad_to_blocks(dense, n, cfg.block)
         offs = jnp.asarray(
@@ -45,7 +52,7 @@ def main():
         out = pallas_block._pallas_main_pass(
             padded, cfg.block, L, n, False, offs=offs
         )
-        return out[0][0, 0]
+        return touch(out)
 
     stamp(f"lowering grid-only {shape} n={n}")
     t0 = time.perf_counter()
@@ -64,13 +71,27 @@ def main():
     t0 = time.perf_counter()
     # z_off traced (the streamed pipeline reuses ONE slab compile across
     # slabs with different offsets)
-    lowered2 = jax.jit(lambda d, z: slab(d, z)[0][0, 0]).lower(
+    lowered2 = jax.jit(lambda d, z: touch(slab(d, z))).lower(
         spec, jax.ShapeDtypeStruct((), jnp.int32)
     )
     stamp(f"lowered ({time.perf_counter()-t0:.1f}s); compiling full slab")
     t0 = time.perf_counter()
     lowered2.compile()
     stamp(f"full slab COMPILED in {time.perf_counter()-t0:.1f}s")
+
+    # the REAL streamed per-slab program (slab + seam + combine + sort)
+    from tissue_analysis_tpu import streaming
+
+    stamp("building streamed per-slab program")
+    max_entries = 3 * cfg.derived_max_pairs(n)
+    prog = streaming._build_program_pallas(shape, n, cfg, max_entries, False)
+    prev = jax.ShapeDtypeStruct((shape[1], shape[2]), jnp.int32)
+    t0 = time.perf_counter()
+    lowered3 = jax.jit(lambda d, p: touch(prog(d, p))).lower(spec, prev)
+    stamp(f"lowered ({time.perf_counter()-t0:.1f}s); compiling streamed program")
+    t0 = time.perf_counter()
+    lowered3.compile()
+    stamp(f"streamed program COMPILED in {time.perf_counter()-t0:.1f}s")
 
 
 if __name__ == "__main__":
