@@ -179,3 +179,25 @@ def test_pallas_dict_rows_bit_identical(dict_rows):
     for f in FIELDS:
         np.testing.assert_array_equal(getattr(a, f), getattr(base, f),
                                       err_msg=f)
+
+
+def test_pallas_chain_vec_bit_identical():
+    """Vectorized band-collapse chain (_dict_extract_vec, A/B flag): same
+    extraction order and slot contract as the serial chain, so tables must
+    be bit-identical. (Kept as a measured-rejected A/B leg: silicon grid
+    87 vs 78 ms gross — per-step cost is op-count-bound, BASELINE.md r4.)"""
+    from tissue_analysis_tpu.engine import _GOOD_CFG
+    from tissue_analysis_tpu.ops import pallas_block
+
+    img = voronoi_stack((24, 32, 300), 80, seed=7, voxelsize=(1.0, 0.5, 0.25))
+    stack = LabeledStack.from_array(np.asarray(img), background=1)
+    base = analyze_stack_pallas(stack)
+    _GOOD_CFG.clear()
+    pallas_block._CHAIN_VEC = True
+    try:
+        a = analyze_stack_pallas(stack)
+    finally:
+        pallas_block._CHAIN_VEC = False
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(base, f),
+                                      err_msg=f)
