@@ -79,6 +79,56 @@ def main():
     lowered2.compile()
     stamp(f"full slab COMPILED in {time.perf_counter()-t0:.1f}s")
 
+    if os.environ.get("PROBE_STAGES"):
+        # isolate which added stage blows the streamed-program compile:
+        # slab+seam, slab+combine, slab+sort — each with DCE defeated
+        from tissue_analysis_tpu.ops import blocked as _blocked
+
+        slab2 = pallas_block.build_pallas_slab_fn(
+            shape, n, cfg, False, wide=wide
+        )
+        prev = jax.ShapeDtypeStruct((shape[1], shape[2]), jnp.int32)
+        max_entries = 3 * cfg.derived_max_pairs(n)
+
+        def with_seam(d, p):
+            out = slab2(d, 0)
+            first = d[0].astype(jnp.int32)
+            tiles = _blocked.plane_seam_tiles(p, first, cfg.seam_tile, n)
+            seam = _blocked.seam_tiles_entries(
+                tiles, n, cfg.seam_max_labels,
+                cfg.max_pairs_per_seam_tile, tiles.shape[0],
+            )
+            return touch(out) + touch(seam)
+
+        def with_combine(d):
+            out = slab2(d, 0)
+            comb = _blocked._global_moment_combine(
+                out[0], out[1], out[2], out[3], n
+            )
+            return touch(out) + touch(comb)
+
+        def with_sort(d):
+            out = slab2(d, 0)
+            ids, cols, gmin_l, gmax_l, los, his, counts, tags = out[:8]
+            red = _blocked._sorted_pair_reduce(
+                los, his, tags, counts, max_entries, n_labels=n,
+                unpack=False,
+            )
+            return touch(out) + touch(red)
+
+        for name, fn, specs in (
+            ("slab+seam", with_seam, (spec, prev)),
+            ("slab+combine", with_combine, (spec,)),
+            ("slab+sort", with_sort, (spec,)),
+        ):
+            stamp(f"lowering {name}")
+            t0 = time.perf_counter()
+            lw = jax.jit(fn).lower(*specs)
+            stamp(f"lowered ({time.perf_counter()-t0:.1f}s); compiling {name}")
+            t0 = time.perf_counter()
+            lw.compile()
+            stamp(f"{name} COMPILED in {time.perf_counter()-t0:.1f}s")
+
     # the REAL streamed per-slab program (slab + seam + combine + sort)
     from tissue_analysis_tpu import streaming
 
