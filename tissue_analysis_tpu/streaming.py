@@ -418,6 +418,20 @@ def analyze_streamed(
     voxelsize = tuple(float(v) for v in voxelsize)
 
     z, y, x = shape
+    if y * x > 600_000 and jax.default_backend() == "tpu":
+        import warnings
+
+        # measured (BASELINE.md round 4): the streamed per-slab program at
+        # >=1024-wide cross-sections sat >25 min in server-side compiles
+        # on a tunneled toolchain (512-wide compiles in ~1 min; z extent
+        # is unbounded either way). Not fatal — just very slow to start.
+        warnings.warn(
+            f"streamed slab cross-section {y}x{x} is Gvox-wide; the FIRST "
+            "compile of the per-slab program has measured >25 minutes on "
+            "some TPU toolchains. Set TA_STAGE_VERBOSE=1 to monitor; "
+            "JAX_COMPILATION_CACHE_DIR makes it one-time per machine.",
+            stacklevel=2,
+        )
     if slab_z is None:
         slab_z = min(128, -(-z // 8) * 8)
 
