@@ -116,7 +116,24 @@ def main():
             )
             return touch(out) + touch(red)
 
+        # sort ALONE on a synthetic stream of the same size: distinguishes
+        # "the two-key reduce composition is slow to compile at 7M" from
+        # "fusing it with the slab program is"
+        kp = cfg.max_pairs_per_block
+        kps = sum(kp) if isinstance(kp, tuple) else 3 * kp
+        grid = [-(-s // b) for s, b in zip(shape, cfg.block)]
+        stream = grid[0] * grid[1] * grid[2] * kps
+        sspec = jax.ShapeDtypeStruct((stream,), jnp.int32)
+
+        def sort_alone(a, b, c, d):
+            return touch(
+                _blocked._sorted_pair_reduce(
+                    a, b, c, d, max_entries, n_labels=n, unpack=False
+                )
+            )
+
         for name, fn, specs in (
+            ("sort-alone", sort_alone, (sspec, sspec, sspec, sspec)),
             ("slab+seam", with_seam, (spec, prev)),
             ("slab+combine", with_combine, (spec,)),
             ("slab+sort", with_sort, (spec,)),
