@@ -1,0 +1,71 @@
+"""Compile-time bisect of the two-key pair reduce at the 7M-entry scale
+that stalls the Gvox-wide streamed compile (BASELINE.md round 4): lower +
+compile each sub-piece separately, timestamped. Execution is NOT timed —
+this is purely about which composition the compiler chokes on.
+
+Usage: python scripts/tpu_sort7m_probe.py [M [max_entries [n]]]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+
+def stamp(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import blocked
+
+    args = [int(a) for a in sys.argv[1:]]
+    M = args[0] if len(args) > 0 else 7077888
+    max_entries = args[1] if len(args) > 1 else 4471272
+    n = args[2] if len(args) > 2 else 62101
+    s = jax.ShapeDtypeStruct((M,), jnp.int32)
+    sc = jax.ShapeDtypeStruct((max_entries,), jnp.int32)
+
+    def touch(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    pieces = (
+        ("sort_2op_7M", lambda a, b: touch(jax.lax.sort((a, b), num_keys=1)),
+         (s, s)),
+        ("sort_3op_2key_7M",
+         lambda a, b, c: touch(jax.lax.sort((a, b, c), num_keys=2)),
+         (s, s, s)),
+        ("segsum_cap", lambda a, b: touch(blocked._chunked_segsum(a, b)),
+         (sc, sc)),
+        ("segsum_7M", lambda a, b: touch(blocked._chunked_segsum(a, b)),
+         (s, s)),
+        ("runreduce_keys_7M",
+         lambda a, b, c: touch(
+             blocked._sorted_pair_reduce_keys(a, b, c, max_entries)
+         ),
+         (s, s, s)),
+        ("full_two_key_7M",
+         lambda a, b, c, d: touch(
+             blocked._sorted_pair_reduce(
+                 a, b, c, d, max_entries, n_labels=n, unpack=False
+             )
+         ),
+         (s, s, s, s)),
+    )
+    for name, fn, specs in pieces:
+        stamp(f"lowering {name}")
+        t0 = time.perf_counter()
+        lw = jax.jit(fn).lower(*specs)
+        stamp(f"lowered ({time.perf_counter()-t0:.1f}s); compiling {name}")
+        t0 = time.perf_counter()
+        lw.compile()
+        stamp(f"{name} COMPILED in {time.perf_counter()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
