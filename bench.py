@@ -71,7 +71,10 @@ def _tpu_alive(timeout_s: int = 150) -> bool:
 def main() -> None:
     n = int(os.environ.get("BENCH_SIZE", "512"))
     ncells = int(os.environ.get("BENCH_CELLS", "3500"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # 5 reps (VERDICT r4 weak #1): the pass is ~0.12 s while the axon-relay
+    # jitter per fenced readback is ±20 ms — best-of-3 did not absorb it
+    # and round-over-round headline numbers regressed with zero code cause
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     baseline_mvox_s = 0.63  # reference semantics, 512³ (BASELINE.md)
 
     img = _get_stack(n, ncells, seed=1)
@@ -115,7 +118,18 @@ def main() -> None:
         table = analyze_stack(stack)
         graph_from_table(table)  # property-graph export is part of the pass
         times.append(time.perf_counter() - t0)
-    best = min(times)
+
+    # measured relay round-trip: a fresh tiny device computation fenced by
+    # host readback (fresh each rep — jax.Array caches its host copy). The
+    # stage scripts subtract this per fenced call; here it feeds value_net.
+    import jax.numpy as jnp
+
+    rts = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        np.asarray(jnp.zeros((8,), jnp.int32) + i)
+        rts.append(time.perf_counter() - t0)
+    relay_rt = sorted(rts)[len(rts) // 2]
 
     # honest end-to-end: ingest (native relabel + host->device transfer,
     # forced by a device readback of one dense voxel) + pass + graph export.
@@ -135,21 +149,43 @@ def main() -> None:
         t3 = time.perf_counter()
         e2e.append((t3 - t0, t1 - t0, t2 - t1, t3 - t2))
     e2e_best, relabel_s, transfer_s, pass_s = min(e2e)
+    # headline from the best across BOTH timed loops (identical work:
+    # device-resident pass + graph export) — VERDICT r4 weak #1
+    best = min(times + [e[3] for e in e2e])
 
     # raw-mode end-to-end (on-device ingest, VERDICT r2 item 2): H2D of the
     # RAW uint16 labels + device pass; no host relabel stage exists at all.
     # Bit-identical to the relabel path by construction (tests/test_raw_ingest).
     analyze_raw(img, background=1)  # warmup 1: converge buffer config
     analyze_raw(img, background=1)  # warmup 2: compile the converged config
+    from tissue_analysis_tpu.utils import timing
+
     e2e_raw = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        tr = analyze_raw(img, background=1)
-        graph_from_table(tr)
-        e2e_raw.append(time.perf_counter() - t0)
-    e2e_raw_best = min(e2e_raw)
+        with timing.collect() as tc:
+            tr = analyze_raw(img, background=1)
+            graph_from_table(tr)
+        stages = tc.as_dict()
+        # the H2D enqueue is async; the id-range scan's device_get fences
+        # it — their sum is the real transfer wall-clock (VERDICT r4
+        # weak #2: the raw loop recorded no split, so a 2.5x relay
+        # variance swing was unexplainable from the committed data)
+        xfer = sum(
+            v["seconds"]
+            for k, v in stages.items()
+            if k.startswith("ingest:")
+        )
+        e2e_raw.append((time.perf_counter() - t0, xfer))
+    e2e_raw_best, raw_transfer_s = min(e2e_raw)
+    raw_pass_s = e2e_raw_best - raw_transfer_s
 
     mvox_s = voxels / best / 1e6
+    # net-of-relay companion number: the pass ends in ONE fenced readback,
+    # so one measured round-trip of pure relay latency rides on wall_s —
+    # ~2 ms on a directly-attached host, 20-30 ms (and noisy) through the
+    # axon loopback relay. value stays the honest gross number.
+    net = max(best - relay_rt, 1e-9)
     e2e_min = min(e2e_best, e2e_raw_best)
     print(
         json.dumps(
@@ -163,8 +199,13 @@ def main() -> None:
                 "unit": "Mvoxels/s/chip",
                 "vs_baseline": round(mvox_s / baseline_mvox_s, 1),
                 "wall_s": round(best, 3),
+                "wall_net_of_relay_s": round(net, 3),
+                "value_net_of_relay": round(voxels / net / 1e6, 2),
+                "relay_roundtrip_s": round(relay_rt, 4),
                 "end_to_end_s": round(e2e_best, 3),
                 "end_to_end_raw_s": round(e2e_raw_best, 3),
+                "raw_transfer_s": round(raw_transfer_s, 3),
+                "raw_pass_s": round(raw_pass_s, 3),
                 "end_to_end_mvox_s": round(voxels / e2e_min / 1e6, 1),
                 "relabel_s": round(relabel_s, 3),
                 "transfer_s": round(transfer_s, 3),

@@ -123,6 +123,32 @@ def test_tiled_cell_features_bit_match_base(stack64):
         assert t_tiled.count[s2] == t_base.count[s]
 
 
+def test_streamed_wide_aspect_forced_twokey(monkeypatch, stack64):
+    """Wide-aspect streamed regression guard (VERDICT r4 next #8): the
+    cross-section ≫ slab_z shape class with the TWO-KEY sort branch forced
+    (n_labels withheld from the reduce, as at real Gvox widths where
+    n > 23k disables key packing). Must stay bit-identical to the resident
+    engine through the per-slab composition that stalled round 4's Gvox
+    compiles."""
+    from tissue_analysis_tpu.ops import blocked as _blocked
+
+    wide = np.ascontiguousarray(
+        np.asarray(stack64[:16]).repeat(2, axis=1)[:, :96, :]
+    )
+    orig = _blocked._sorted_pair_reduce
+
+    def force_twokey(los, his, tags, counts, max_entries, n_labels=None, **kw):
+        return orig(los, his, tags, counts, max_entries, **kw)
+
+    monkeypatch.setattr(_blocked, "_sorted_pair_reduce", force_twokey)
+    got = analyze_streamed(wide, background=1, slab_z=8, engine="blocked")
+    monkeypatch.undo()
+    ref = analyze_stack(
+        LabeledStack.from_array(wide, background=1), engine="blocked"
+    )
+    _assert_tables_equal(got, ref)
+
+
 def test_pick_engine_routes_big_label_counts_to_blocked(monkeypatch):
     """auto must not pick the pallas v1 slab path above 2^16 labels
     (measured 3x slower than blocked and compile-hostile at Gvox slab

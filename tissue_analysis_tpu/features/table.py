@@ -97,6 +97,22 @@ class FeatureTable:
         )
 
     # ------------------------------------------------------------ adjacency
+    def pair_keys(self) -> np.ndarray:
+        """Packed (lo << 32 | hi) pair keys, int64[E], ascending.
+
+        The pair COO is sorted ascending by this key (an engine invariant
+        enforced by the parity tests), so point queries binary-search it.
+        Cached: the COO is immutable, and rebuilding the key array made
+        every `cell_wall_surface` call O(E) despite the O(log E) search
+        (ADVICE r4)."""
+        k = getattr(self, "_pair_keys_cache", None)
+        if k is None:
+            k = (self.pair_lo.astype(np.int64) << 32) | self.pair_hi.astype(
+                np.int64
+            )
+            object.__setattr__(self, "_pair_keys_cache", k)
+        return k
+
     def face_areas(self) -> np.ndarray:
         """Physical area of one voxel face per axis: ∏voxelsize / voxelsize_d."""
         v = np.asarray(self.voxelsize, dtype=np.float64)

@@ -455,11 +455,33 @@ def _sorted_run_reduce_single(key, counts, max_entries, presorted=False):
     return okey, total, n_runs
 
 
+# two-key sort lowering mode: "twopass" (default) lowers the lexicographic
+# (k1, k2) sort as two STABLE single-key sorts — at multi-million entries
+# the XLA TPU `num_keys=2` comparator is a measured server-side compile
+# pathology (>20 min at 7.08M entries, BASELINE.md round 4 bisect) while
+# single-key sorts of the same operands compile in seconds. "legacy" keeps
+# the one-pass num_keys=2 sort (probe/A-B only). Outputs are bit-identical:
+# a stable sort by k2 followed by a stable sort by k1 IS the stable
+# lexicographic (k1, k2) sort (LSD radix argument), including tie order.
+import os as _os
+
+_TWO_KEY_SORT_MODE = _os.environ.get("TA_TWOKEY_SORT", "twopass")
+
+
+def _lex_sort2(k1, k2, *vals):
+    """Stable lexicographic sort by (k1, k2) carrying ``vals`` along."""
+    if _TWO_KEY_SORT_MODE == "legacy":
+        return jax.lax.sort((k1, k2) + vals, num_keys=2, is_stable=True)
+    ops = jax.lax.sort((k2, k1) + vals, num_keys=1, is_stable=True)
+    ops = jax.lax.sort((ops[1], ops[0]) + ops[2:], num_keys=1, is_stable=True)
+    return ops
+
+
 def _sorted_pair_reduce_keys(k1, k2, counts, max_entries):
     """Core of :func:`_sorted_pair_reduce` over prebuilt (k1, k2) keys —
     used directly when merging already-reduced per-device entry tables
     (k2 = hi·4 + axis, sentinel k1 = k2 = IMAX)."""
-    k1, k2, counts = jax.lax.sort((k1, k2, counts), num_keys=2)
+    k1, k2, counts = _lex_sort2(k1, k2, counts)
     diff = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
     is_last = jnp.concatenate([diff, jnp.array([True])])
     is_last = is_last & (k1 < _IMAX)
@@ -471,7 +493,7 @@ def _sorted_pair_reduce_keys(k1, k2, counts, max_entries):
     n_runs = jnp.sum(is_last.astype(jnp.int32))
     ok1 = jnp.where(is_last, k1, _IMAX)
     ok2 = jnp.where(is_last, k2, _IMAX)
-    ok1, ok2, total = jax.lax.sort((ok1, ok2, total), num_keys=2)
+    ok1, ok2, total = _lex_sort2(ok1, ok2, total)
     ok1, ok2, total = _take_front((ok1, ok2, total), max_entries)
     ok2 = jnp.where(ok1 < _IMAX, ok2, _IMAX)  # sentinel convention
     return ok1, ok2, total, n_runs

@@ -139,7 +139,13 @@ def _dict_extract(v_all, L, n, P: int = 1):
     rows p·L..(p+1)·L-1 — and ovf [P·L, 1], the step-global overflow
     flag: any block overflowing triggers the same host retry).
     """
-    if _CHAIN_VEC and P == 1 and _DICT_GROUPS == 2 and L % 4 == 0:
+    # v_all row guard: _dict_extract_rows phase 2 re-enters here with the
+    # [M, 2·steps] candidate array (M = S16·Rb rows ≫ 16), which the vec
+    # chain's R ≤ 16 layout cannot carry (ADVICE r4) — scalar chain then
+    if (
+        _CHAIN_VEC and P == 1 and _DICT_GROUPS == 2 and L % 4 == 0
+        and v_all.shape[0] <= 16
+    ):
         return _dict_extract_vec(v_all, L, n)
     G = _DICT_GROUPS
     # degrade for small L (overflow-path tests use L down to 4): largest

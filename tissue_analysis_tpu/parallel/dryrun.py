@@ -101,10 +101,47 @@ def run(n_devices: int) -> None:
         _blocked.BlockConfig(), max_pairs_per_block=8
     )
     check2(analyze_sharded_blocked(stack2, mesh=mesh, cfg=tiny), "blocked-tinybuf")
+
+    # case 3 (VERDICT r4 next #8): the STREAMED out-of-core path at a
+    # wide-ish aspect ratio (cross-section ≫ slab_z — the shape class whose
+    # Gvox-scale compile pathology bit round 4), with the two-key sort
+    # branch FORCED (n_labels withheld so the packed-key fast path cannot
+    # hide the two-key composition — at real Gvox widths n > 23k disables
+    # packing). Wired to the driver signal so regressions in the per-slab
+    # two-key sort-reduce composition surface every round, not only in
+    # scripts.
+    from tissue_analysis_tpu import streaming
+
+    img3 = voronoi_stack((32, 192, 192), 150, seed=11, sphere=False)
+    stack3 = LabeledStack.from_array(np.asarray(img3), background=1)
+    t3_single = analyze_stack(stack3)
+    orig_reduce = _blocked._sorted_pair_reduce
+
+    def force_twokey(los, his, tags, counts, max_entries, n_labels=None, **kw):
+        return orig_reduce(los, his, tags, counts, max_entries, **kw)
+
+    _blocked._sorted_pair_reduce = force_twokey
+    streaming.blocked._sorted_pair_reduce = force_twokey
+    try:
+        t3 = streaming.analyze_streamed(
+            np.asarray(img3), background=1, slab_z=8, engine="blocked"
+        )
+    finally:
+        _blocked._sorted_pair_reduce = orig_reduce
+        streaming.blocked._sorted_pair_reduce = orig_reduce
+    for field in (
+        "count", "s1", "s2", "cmin", "cmax",
+        "pair_lo", "pair_hi", "wall_face_counts", "margin",
+    ):
+        assert np.array_equal(
+            getattr(t3, field), getattr(t3_single, field)
+        ), f"case3 streamed-wide: {field} mismatch"
+
     print(
         f"dryrun_multichip ok: {n_devices} devices, all engines bit-equal "
         f"(case1 25 cells pad-path; case2 {stack2.n_labels} labels, "
-        f"multi-block slabs + seam load + overflow retry)"
+        f"multi-block slabs + seam load + overflow retry; case3 streamed "
+        f"wide-aspect {stack3.n_labels} labels, forced two-key sort)"
     )
 
 

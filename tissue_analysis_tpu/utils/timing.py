@@ -86,7 +86,10 @@ def stage(name: str, voxels: Optional[int] = None):
     stage enters and leaves — the reference's ``verbose=True`` analogue,
     and the hang-diagnosis channel for long tunneled-TPU runs (a stalled
     Mosaic compile or relay transfer is otherwise silent for minutes)."""
-    verbose = os.environ.get("TA_STAGE_VERBOSE")
+    # =1 convention: "0"/"false"/empty must NOT enable (ADVICE r4)
+    verbose = os.environ.get("TA_STAGE_VERBOSE", "").lower() not in (
+        "", "0", "false",
+    )
     t: Optional[Timings] = getattr(_tls, "timings", None)
     if t is None and not verbose:
         yield
