@@ -54,12 +54,28 @@ def main():
             continue
         fn(stack)  # second warmup: converged-config compile
         times = []
+        ana_times = []
+        graph_times = []
         for _ in range(3):
             t0 = time.perf_counter()
             t = fn(stack)
+            t1 = time.perf_counter()
             graph_from_table(t)
-            times.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            times.append(t2 - t0)
+            ana_times.append(t1 - t0)
+            graph_times.append(t2 - t1)
         best = min(times)
+        # attribution (VERDICT r4 weak #5): how much of the 2D wall-clock
+        # is fixed relay round-trip latency vs real device/host work
+        import jax.numpy as jnp
+
+        rts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            np.asarray(jnp.zeros((8,), jnp.int32) + i)
+            rts.append(time.perf_counter() - t0)
+        rt = sorted(rts)[len(rts) // 2]
         if ref is None:
             ref = t
         else:
@@ -73,6 +89,10 @@ def main():
                     "backend": jax.default_backend(),
                     "wall_s": round(best, 4),
                     "mvox_s": round(voxels / best / 1e6, 1),
+                    "analyze_s": round(min(ana_times), 4),
+                    "graph_s": round(min(graph_times), 4),
+                    "relay_rt_s": round(rt, 4),
+                    "analyze_net_of_rt_s": round(min(ana_times) - rt, 4),
                 }
             ),
             flush=True,

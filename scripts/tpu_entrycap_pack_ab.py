@@ -63,8 +63,10 @@ def main():
     # specific to the full converged-buffer program at P=4), so the
     # default run measures pack=1 + blocked bit-equality only.
     t4, tab4 = None, tab1
-    if os.environ.get("AB_PACK4"):
-        cfg4 = dataclasses.replace(good, pack=4)
+    pack_p = int(os.environ.get("AB_PACK", "4" if os.environ.get("AB_PACK4")
+                                else "0"))
+    if pack_p > 1:
+        cfg4 = dataclasses.replace(good, pack=pack_p)
         engine.analyze_stack_pallas(stack, cfg=cfg4)  # compile
         t4, tab4 = steady(
             lambda: engine.analyze_stack_pallas(stack, cfg=cfg4)
@@ -82,6 +84,7 @@ def main():
         "size": size, "labels": n,
         "entry_cap": good.entry_cap if good else None,
         "pallas_pack1_s": round(t1, 4),
+        "pack": pack_p or 1,
         "pallas_pack4_s": round(t4, 4) if t4 is not None else None,
         "blocked_s": round(tb, 4),
         "pack4_bit_equal": bool(ok14),

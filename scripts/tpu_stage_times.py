@@ -87,6 +87,15 @@ if __name__ == "__main__":
     # whole engine incl. host assemble (readback path)
     t_engine = timeit(lambda s: analyze_stack_pallas(s), stack)
 
+    # property-graph export (pure host work on the final table — VERDICT
+    # r4 next #6: the 1024^3 host-side number previously excluded it)
+    from tissue_analysis_tpu.graph.from_image import graph_from_table
+
+    t_graph = timeit(lambda: graph_from_table(t))
+
+    # readback payload estimate: the engine's ONE flat device_get buffer
+    payload_mb = float(np.asarray(full).nbytes) / 1e6
+
     # relay round-trip floor: fence of a trivial jit — subtract from every
     # standalone number (each timed call ends in one scalar readback)
     trivj = jax.jit(lambda d: d[0, 0, 0] + 1)
@@ -179,6 +188,8 @@ if __name__ == "__main__":
                 "grid_s": round(t_grid, 4),
                 "roundtrip_s": round(t_rt, 4),
                 "host_side_s": round(t_engine - t_full, 4),
+                "graph_export_s": round(t_graph, 4),
+                "readback_payload_mb": round(payload_mb, 2),
             }
         ),
         flush=True,
