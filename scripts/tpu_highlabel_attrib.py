@@ -42,9 +42,15 @@ def main():
     n = stack.n_labels
     print(f"[{time.strftime('%H:%M:%S')}] n={n}; warmups...", flush=True)
 
+    from tissue_analysis_tpu.utils import timing
+
     cfg = blocked.BlockConfig(max_labels_per_block=128, max_pairs=300_000)
     analyze_stack_blocked(stack, cfg=cfg)
     t_engine = timeit(lambda: analyze_stack_blocked(stack, cfg=cfg))
+    with timing.collect() as tc:
+        analyze_stack_blocked(stack, cfg=cfg)
+    print("engine stages:", {k: round(v["seconds"], 3)
+                             for k, v in tc.as_dict().items()}, flush=True)
 
     out, wshift = blocked.blocked_sweep(stack.dense, n, cfg)
     # device compute only: fence ONE scalar output (n_runs) — the sweep
@@ -55,8 +61,12 @@ def main():
             jax.device_get(blocked.blocked_sweep(stack.dense, n, cfg)[0][6])
         )
     )
-    # full readback on the already-computed outputs
-    t_readback = timeit(lambda: jax.device_get(out))
+    # compute + FULL readback (fresh arrays each rep — jax.Array caches
+    # its host copy, so re-getting the same buffers measures nothing)
+    t_comp_read = timeit(
+        lambda: jax.device_get(blocked.blocked_sweep(stack.dense, n, cfg)[0])
+    )
+    t_readback = t_comp_read - t_compute
     payload_mb = sum(np.asarray(o).nbytes for o in out) / 1e6
 
     host = jax.device_get(out)

@@ -49,14 +49,18 @@ def main():
         leaves = jax.tree_util.tree_leaves(tree)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
-    def with_mode(mode, fn):
+    def with_mode(mode, fn, total_mode=None):
         def wrapped(*xs):
             old = blocked._TWO_KEY_SORT_MODE
+            old_t = blocked._RUN_TOTAL_MODE
             blocked._TWO_KEY_SORT_MODE = mode
+            if total_mode:
+                blocked._RUN_TOTAL_MODE = total_mode
             try:
                 return fn(*xs)
             finally:
                 blocked._TWO_KEY_SORT_MODE = old
+                blocked._RUN_TOTAL_MODE = old_t
         return wrapped
 
     PIECES = {
@@ -78,9 +82,16 @@ def main():
             lambda a, b: touch(blocked._chunked_segsum(a, b)), (sc, sc)),
         "segsum_7M": (
             lambda a, b: touch(blocked._chunked_segsum(a, b)), (s, s)),
+        "cumsum_7M": (
+            lambda a: touch(jnp.cumsum(a)), (s,)),
         "runreduce_keys_7M": (
             with_mode("twopass", lambda a, b, c: touch(
                 blocked._sorted_pair_reduce_keys(a, b, c, max_entries))),
+            (s, s, s)),
+        "runreduce_keys_segscan_7M": (
+            with_mode("twopass", lambda a, b, c: touch(
+                blocked._sorted_pair_reduce_keys(a, b, c, max_entries)),
+                total_mode="segscan"),
             (s, s, s)),
         "runreduce_keys_legacy_7M": (
             with_mode("legacy", lambda a, b, c: touch(
@@ -101,7 +112,7 @@ def main():
     }
     default = [
         "sort_2op_7M", "sort_3op_1key_7M", "lexsort_twopass_7M",
-        "segsum_cap", "segsum_7M", "runreduce_keys_7M", "full_two_key_7M",
+        "cumsum_7M", "runreduce_keys_7M", "full_two_key_7M",
     ]
     for name in pieces_sel or default:
         fn, specs = PIECES[name]

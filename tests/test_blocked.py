@@ -279,6 +279,44 @@ def test_twokey_twopass_sort_matches_legacy():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_run_total_cumdiff_matches_segscan():
+    """The cumsum-difference run totals (round-5 fix for the ~27-min
+    `_chunked_segsum` compile at multi-M entries) must be bit-identical to
+    the segmented-scan path — two-key branch, packed branch, and the
+    packed entry-cap (presorted) branch."""
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import blocked
+
+    rng = np.random.default_rng(17)
+    m = 30000
+    for n, cap in ((40000, 0), (500, 0), (500, 8192)):
+        lo = rng.integers(0, n - 1, size=m).astype(np.int32)
+        hi = (lo + rng.integers(1, 9, size=m)).clip(max=n - 1).astype(np.int32)
+        tags = rng.integers(0, 3, size=m).astype(np.int32)
+        counts = rng.integers(1, 100, size=m).astype(np.int32)
+        sent = rng.random(m) < 0.5
+        lo[sent] = np.int32(2**31 - 1)
+        hi[sent] = np.int32(2**31 - 1)
+        counts[sent] = 0
+        args = tuple(jnp.asarray(a) for a in (lo, hi, tags, counts))
+        max_entries = m // 2
+        old = blocked._RUN_TOTAL_MODE
+        try:
+            blocked._RUN_TOTAL_MODE = "cumdiff"
+            got = blocked._sorted_pair_reduce(
+                *args, max_entries, n_labels=n, unpack=True, entry_cap=cap
+            )
+            blocked._RUN_TOTAL_MODE = "segscan"
+            ref = blocked._sorted_pair_reduce(
+                *args, max_entries, n_labels=n, unpack=True, entry_cap=cap
+            )
+        finally:
+            blocked._RUN_TOTAL_MODE = old
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_packed_moment_readback_matches_host_assembly():
     """Device-side base-2^32 moment packing must decode to exactly the
     host split-column assembly, for both the narrow (5-piece) and wide

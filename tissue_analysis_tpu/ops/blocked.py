@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os as _os
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -432,6 +433,36 @@ def _take_front(keys_vals, max_entries):
     return tuple(out)
 
 
+# run-total mode: "cumdiff" (default) computes each run's total as the
+# difference of consecutive run-end values of the PLAIN global inclusive
+# cumsum, evaluated after the canonicalization sort — the key-sorted
+# stream's run ends appear in ascending key order, so after the second
+# sort (live keys ahead of sentinels, ascending) consecutive live rows
+# are consecutive runs and total_r = c_end[r] − c_end[r−1]. Exact under
+# int32 wraparound (differences are mod-2³² exact while each per-run
+# total < 2³¹ — the existing contract), gather-free, and it removes the
+# segmented `associative_scan` from the hot path entirely: measured on
+# the v5e toolchain, `_chunked_segsum` at 4.47M entries takes ~27 min of
+# SERVER-SIDE COMPILE (the second half of the round-4 Gvox-wide streamed
+# stall, alongside the num_keys=2 sort), while a plain cumsum compiles
+# in seconds. "segscan" keeps the old path (probe/A-B only).
+_RUN_TOTAL_MODE = _os.environ.get("TA_RUN_TOTAL", "cumdiff")
+
+
+def _run_totals_cumdiff(sort_fn, okeys, c, is_last, max_entries):
+    """Shared cumdiff tail: canonicalization-sort ``okeys`` (tuple of key
+    operands, sentinels at _IMAX) with the run-end cumsum ``c`` as
+    payload, slice, and difference. Returns (*okeys_out, total)."""
+    cl = jnp.where(is_last, c, 0)
+    out = sort_fn(*okeys, cl)
+    out = _take_front(out, max_entries)
+    cl = out[-1]
+    live = out[0] < _IMAX
+    prev = jnp.concatenate([jnp.zeros((1,), cl.dtype), cl[:-1]])
+    total = jnp.where(live, cl - prev, 0)
+    return out[:-1] + (total,)
+
+
 def _sorted_run_reduce_single(key, counts, max_entries, presorted=False):
     """Single-int32-key variant of :func:`_sorted_pair_reduce_keys`.
 
@@ -442,13 +473,24 @@ def _sorted_run_reduce_single(key, counts, max_entries, presorted=False):
         key, counts = jax.lax.sort((key, counts), num_keys=1)
     is_last = jnp.concatenate([key[1:] != key[:-1], jnp.array([True])])
     is_last = is_last & (key < _IMAX)
+    n_runs = jnp.sum(is_last.astype(jnp.int32))
+    okey = jnp.where(is_last, key, _IMAX)
+    if _RUN_TOTAL_MODE == "cumdiff":
+        c = jnp.cumsum(counts)
+
+        def sort1(k, v):
+            return jax.lax.sort((k, v), num_keys=1, is_stable=True)
+
+        okey, total = _run_totals_cumdiff(
+            sort1, (okey,), c, is_last, max_entries
+        )
+        return okey, total, n_runs
     is_start = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
          (key[1:] != key[:-1]).astype(jnp.int32)]
     )
     seg = _chunked_segsum(counts, is_start)  # run totals at run ends
     total = jnp.where(is_last, seg, 0)
-    n_runs = jnp.sum(is_last.astype(jnp.int32))
     okey = jnp.where(is_last, key, _IMAX)
     okey, total = jax.lax.sort((okey, total), num_keys=1)
     okey, total = _take_front((okey, total), max_entries)
@@ -463,8 +505,6 @@ def _sorted_run_reduce_single(key, counts, max_entries, presorted=False):
 # the one-pass num_keys=2 sort (probe/A-B only). Outputs are bit-identical:
 # a stable sort by k2 followed by a stable sort by k1 IS the stable
 # lexicographic (k1, k2) sort (LSD radix argument), including tie order.
-import os as _os
-
 _TWO_KEY_SORT_MODE = _os.environ.get("TA_TWOKEY_SORT", "twopass")
 
 
@@ -485,16 +525,22 @@ def _sorted_pair_reduce_keys(k1, k2, counts, max_entries):
     diff = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
     is_last = jnp.concatenate([diff, jnp.array([True])])
     is_last = is_last & (k1 < _IMAX)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)]
-    )
-    seg = _chunked_segsum(counts, is_start)  # run totals at run ends
-    total = jnp.where(is_last, seg, 0)
     n_runs = jnp.sum(is_last.astype(jnp.int32))
     ok1 = jnp.where(is_last, k1, _IMAX)
     ok2 = jnp.where(is_last, k2, _IMAX)
-    ok1, ok2, total = _lex_sort2(ok1, ok2, total)
-    ok1, ok2, total = _take_front((ok1, ok2, total), max_entries)
+    if _RUN_TOTAL_MODE == "cumdiff":
+        c = jnp.cumsum(counts)
+        ok1, ok2, total = _run_totals_cumdiff(
+            _lex_sort2, (ok1, ok2), c, is_last, max_entries
+        )
+    else:
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), diff.astype(jnp.int32)]
+        )
+        seg = _chunked_segsum(counts, is_start)  # run totals at run ends
+        total = jnp.where(is_last, seg, 0)
+        ok1, ok2, total = _lex_sort2(ok1, ok2, total)
+        ok1, ok2, total = _take_front((ok1, ok2, total), max_entries)
     ok2 = jnp.where(ok1 < _IMAX, ok2, _IMAX)  # sentinel convention
     return ok1, ok2, total, n_runs
 
