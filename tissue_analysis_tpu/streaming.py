@@ -418,17 +418,20 @@ def analyze_streamed(
     voxelsize = tuple(float(v) for v in voxelsize)
 
     z, y, x = shape
-    if y * x > 600_000 and jax.default_backend() == "tpu":
+    if y * x > (2048 * 2048) and jax.default_backend() == "tpu":
         import warnings
 
-        # measured (BASELINE.md round 4): the streamed per-slab program at
-        # >=1024-wide cross-sections sat >25 min in server-side compiles
-        # on a tunneled toolchain (512-wide compiles in ~1 min; z extent
-        # is unbounded either way). Not fatal — just very slow to start.
+        # history: round 4 measured >25-min server-side compiles for
+        # >=1024-wide cross-sections; round 5 root-caused and fixed both
+        # pathologies (num_keys=2 sort comparator -> two-pass stable
+        # single-key sorts; _chunked_segsum associative_scan -> cumsum-
+        # difference run totals, BASELINE.md). 1536- and 2048-wide slab
+        # programs now compile in ~40-52 s on the same toolchain; widths
+        # BEYOND 2048x2048 are unmeasured, hence this (softened) note.
         warnings.warn(
-            f"streamed slab cross-section {y}x{x} is Gvox-wide; the FIRST "
-            "compile of the per-slab program has measured >25 minutes on "
-            "some TPU toolchains. Set TA_STAGE_VERBOSE=1 to monitor; "
+            f"streamed slab cross-section {y}x{x} exceeds the widest "
+            "measured compile (2048x2048, ~40 s); the first compile may "
+            "be slow. Set TA_STAGE_VERBOSE=1 to monitor; "
             "JAX_COMPILATION_CACHE_DIR makes it one-time per machine.",
             stacklevel=2,
         )
