@@ -58,7 +58,7 @@ def main():
     # device
     t_compute = timeit(
         lambda: np.asarray(
-            jax.device_get(blocked.blocked_sweep(stack.dense, n, cfg)[0][6])
+            jax.device_get(blocked.blocked_sweep(stack.dense, n, cfg)[0][4])
         )
     )
     # compute + FULL readback (fresh arrays each rep — jax.Array caches
@@ -70,12 +70,10 @@ def main():
     payload_mb = sum(np.asarray(o).nbytes for o in out) / 1e6
 
     host = jax.device_get(out)
-    table, gmin, gmax, k1, k2, total = (
-        host[0], host[1], host[2], host[3], host[4], host[5]
-    )
+    mom, k1, k2, total = host[0], host[1], host[2], host[3]
     t_assemble = timeit(
         lambda: (
-            blocked.assemble_moments(table, gmin, gmax, wshift),
+            blocked.assemble_moments_packed_blocked(mom),
             blocked.assemble_pairs(k1, k2, total),
         )
     )

@@ -351,6 +351,37 @@ def test_packed_moment_readback_matches_host_assembly():
             np.testing.assert_array_equal(ref[k], got[k]), k
 
 
+def test_blocked_packed_moments_match_host_assembly():
+    """Device-side base-2^32 packing of the blocked moment table
+    (pack_moments_blocked, round 5: 46 -> 26 readback columns) must decode
+    to exactly the host split-column assembly for every wshift in range."""
+    import jax.numpy as jnp
+
+    from tissue_analysis_tpu.ops import blocked
+
+    rng = np.random.default_rng(23)
+    n = 301
+    for wshift in (9, 12, 16):
+        # split columns: each int32 part nonnegative; magnitudes chosen so
+        # values stress all four limbs (up to ~2^60)
+        table = np.zeros((n, 40), dtype=np.int32)
+        table[:, 0::2] = rng.integers(0, 2**31 - 1, size=(n, 20))
+        table[:, 1::2] = rng.integers(0, 2**28, size=(n, 20))
+        gmin = rng.integers(0, 500, size=(n, 3)).astype(np.int32)
+        gmax = gmin + rng.integers(0, 500, size=(n, 3)).astype(np.int32)
+        ref = blocked.assemble_moments(table, gmin, gmax, wshift)
+        words = np.asarray(
+            blocked.pack_moments_blocked(
+                jnp.asarray(table), jnp.asarray(gmin), jnp.asarray(gmax),
+                wshift,
+            )
+        )
+        assert words.shape == (n, 26)
+        got = blocked.assemble_moments_packed_blocked(words)
+        for k in ("count", "s1", "s2", "cmin", "cmax"):
+            np.testing.assert_array_equal(ref[k], got[k]), (k, wshift)
+
+
 def test_row_cap_moment_combine_bit_identical():
     """The live-row compaction before the segment combine must produce
     identical tables, and count live rows exactly even on overflow."""

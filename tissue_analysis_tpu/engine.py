@@ -313,11 +313,11 @@ def analyze_stack_blocked(
             if n_sweep > n:
                 # bucket mode: drop empty padding rows on device (see the
                 # pallas collect loop)
-                out = (out[0][:n], out[1][:n], out[2][:n]) + tuple(out[3:])
+                out = (out[0][:n],) + tuple(out[1:])
             # ONE batched device→host transfer: every extra round trip costs
             # full link latency on the relayed platform
             (
-                table, gmin, gmax, k1, k2, total, n_runs, dict_ovf, pair_ovf
+                mom, k1, k2, total, n_runs, dict_ovf, pair_ovf
             ) = jax.device_get(out)
             n_runs = int(n_runs)
         if bool(dict_ovf):
@@ -351,9 +351,8 @@ def analyze_stack_blocked(
                 )
             _GOOD_CFG[cfg_key] = good
         with timing.stage("readback + host assemble"):
-            moments = blocked.assemble_moments(
-                np.asarray(table)[:n], np.asarray(gmin)[:n],
-                np.asarray(gmax)[:n], wshift,
+            moments = blocked.assemble_moments_packed_blocked(
+                np.asarray(mom)[:n]
             )
             pair_lo, pair_hi, counts3 = blocked.assemble_pairs(
                 np.asarray(k1), np.asarray(k2), np.asarray(total)

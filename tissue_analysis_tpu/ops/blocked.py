@@ -910,6 +910,85 @@ def _global_moment_combine(ids, cols, cmin, cmax, n, row_cap=0,
     return table, gmin, gmax
 
 
+def _pack_value_words(table, specs):
+    """Generic device-side base-2³² packing of split-column 64-bit values.
+
+    ``table``: [N, C] int32 of (lo, hi)-interleaved split columns — column
+    pair c holds value-piece = table[:, 2c] + (table[:, 2c+1] << _SPLIT).
+    ``specs``: one list per output value of (pair-index c, shift q) — the
+    value is Σ piece_c << q. Returns (lo_words, hi_words) lists of [N]
+    int32 with value = uint32(lo) + (hi << 32).
+
+    Pure elementwise int32 VPU math via four base-2¹⁶ limbs; carries
+    beyond limb 3 are provably zero while every contribution is
+    nonnegative and the true value is < 2⁶¹ (callers' static bounds).
+    Shared by the pallas packer (`pallas_block._pack_final_moments`) and
+    the blocked packer below.
+    """
+    mask16 = jnp.int32(0xFFFF)
+    los, his = [], []
+    for spec in specs:
+        w = [jnp.zeros_like(table[:, 0]) for _ in range(4)]
+        for c, q in spec:
+            # split interleave is at 2^_SPLIT (= 15), NOT 16
+            for col, s in (
+                (table[:, 2 * c], q), (table[:, 2 * c + 1], q + _SPLIT)
+            ):
+                for part, sh in ((col & mask16, s), (col >> 16, s + 16)):
+                    a, b = divmod(sh, 16)
+                    t = part << b  # part < 2^16, b <= 15: fits int32
+                    w[a] = w[a] + (t & mask16)
+                    if a + 1 < 4:
+                        w[a + 1] = w[a + 1] + (t >> 16)
+                    # else: carry provably zero (value < 2^61)
+        w[1] = w[1] + (w[0] >> 16)
+        w[2] = w[2] + (w[1] >> 16)
+        w[3] = w[3] + (w[2] >> 16)
+        los.append((w[0] & mask16) | ((w[1] & mask16) << 16))
+        his.append((w[2] & mask16) | ((w[3] & mask16) << 16))
+    return los, his
+
+
+def pack_moments_blocked(table, gmin, gmax, wshift):
+    """Device-side base-2³² packing of the blocked moment table.
+
+    ``table``: [N, 40] int32 — 10 features × (weight-lo, weight-hi) ×
+    (row-lo, row-hi); feature f's 64-bit value = (table[:, 4f] +
+    (table[:, 4f+1] << _SPLIT)) + (table[:, 4f+2] + (table[:, 4f+3] <<
+    _SPLIT)) << wshift. Output [N, 26]: value lo-words 10 | hi-words 10 |
+    gmin 3 | gmax 3 — a 46 → 26 column readback (the [262144, 46] moment
+    readback is 42 MB of the measured 59 MB / 2.3 s relay payload at the
+    262k-label point, BASELINE.md round-5 attribution). Bound: values <
+    2⁶¹ whenever count·(extent−1)² < 2⁶¹ — every HBM-resident stack.
+    """
+    specs = [[(2 * f, 0), (2 * f + 1, wshift)] for f in range(10)]
+    los, his = _pack_value_words(table, specs)
+    return jnp.concatenate(
+        [jnp.stack(los, axis=1), jnp.stack(his, axis=1), gmin, gmax], axis=1
+    )
+
+
+def assemble_moments_packed_blocked(words: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host decode of :func:`pack_moments_blocked` — same dict contract as
+    :func:`assemble_moments` (count, s1 [N,3], s2 [N,6] in tri_pairs
+    order zz, zy, zx, yy, yx, xx, cmin/cmax [N,3])."""
+    w = np.asarray(words, np.int32)
+    lo = w[:, :10].astype(np.uint32).astype(np.int64)
+    hi = w[:, 10:20].astype(np.uint32).astype(np.int64)
+    f = lo + (hi << 32)
+    count, sz, szz, sy, syy, szy, sx, sxx, szx, syx = (
+        f[:, i] for i in range(10)
+    )
+    s1 = np.stack([sz, sy, sx], axis=1)
+    s2 = np.stack([szz, szy, szx, syy, syx, sxx], axis=1)
+    cmin = w[:, 20:23].astype(np.int64)
+    cmax = w[:, 23:26].astype(np.int64)
+    empty = count == 0
+    cmin[empty] = 0
+    cmax[empty] = 0
+    return {"count": count, "s1": s1, "s2": s2, "cmin": cmin, "cmax": cmax}
+
+
 def _build_sweep(shape, n_labels, cfg: BlockConfig):
     """Single-device jitted sweep for a static (shape, n_labels, cfg)."""
     n = n_labels
@@ -920,10 +999,14 @@ def _build_sweep(shape, n_labels, cfg: BlockConfig):
     def sweep(dense):
         ids, cols, cmin, cmax, los, his, counts, tags, dovf, povf = main(dense, 0)
         table, gmin, gmax = _global_moment_combine(ids, cols, cmin, cmax, n)
+        # base-2^32 device packing: [n, 46] -> [n, 26] readback columns
+        # (payload is wall-clock on relayed links; 42 of 59 MB at 262k
+        # labels was this table — BASELINE.md round-5 attribution)
+        mom = pack_moments_blocked(table, gmin, gmax, wshift)
         k1, k2, total, n_runs = _sorted_pair_reduce(
             los, his, tags, counts, max_entries, n_labels=n, unpack=False
         )
-        return table, gmin, gmax, k1, k2, total, n_runs, dovf, povf
+        return mom, k1, k2, total, n_runs, dovf, povf
 
     return jax.jit(sweep), wshift
 

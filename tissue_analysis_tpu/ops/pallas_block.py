@@ -1427,29 +1427,8 @@ def _pack_final_moments(table, gmin, gmax):
     for m in range(6):
         base = 4 + npieces * m
         specs.append([(base + k, qs[k]) for k in range(npieces)])
-
-    mask16 = jnp.int32(0xFFFF)
-    los, his = [], []
-    for spec in specs:
-        w = [jnp.zeros_like(table[:, 0]) for _ in range(4)]
-        for c, q in spec:
-            # the split interleave is at 2^_SPLIT (= 15), NOT 16: value
-            # piece = locol + (hicol << _SPLIT)
-            for col, s in (
-                (table[:, 2 * c], q), (table[:, 2 * c + 1], q + _SPLIT)
-            ):
-                for part, sh in ((col & mask16, s), (col >> 16, s + 16)):
-                    a, b = divmod(sh, 16)
-                    t = part << b  # part < 2^16, b <= 15: fits int32
-                    w[a] = w[a] + (t & mask16)
-                    if a + 1 < 4:
-                        w[a + 1] = w[a + 1] + (t >> 16)
-                    # else: carry provably zero (value < 2^61, see above)
-        w[1] = w[1] + (w[0] >> 16)
-        w[2] = w[2] + (w[1] >> 16)
-        w[3] = w[3] + (w[2] >> 16)
-        los.append((w[0] & mask16) | ((w[1] & mask16) << 16))
-        his.append((w[2] & mask16) | ((w[3] & mask16) << 16))
+    # limb accumulation shared with the blocked packer (round 5)
+    los, his = blocked._pack_value_words(table, specs)
     return jnp.concatenate(
         [jnp.stack(los, axis=1), jnp.stack(his, axis=1), gmin, gmax], axis=1
     )

@@ -264,8 +264,9 @@ def _build_program_blocked(slab_shape, n, cfg, wshift, max_entries):
             dense_slab[-1].astype(jnp.int32),
             ((0, yp - y), (0, xp - x)), constant_values=n,
         )
-        # moment block rides as ONE [n, 40+3+3] buffer (split on host)
-        mom = jnp.concatenate([table, gmin, gmax], axis=1)
+        # device-side base-2^32 packing: [n, 26] per-slab moment readback
+        # instead of [n, 46] (one table crosses the relay PER SLAB)
+        mom = blocked.pack_moments_blocked(table, gmin, gmax, wshift)
         return _pack_readback(
             mom, k1, k2, total, n_runs, dovf | dovf_s, povf | povf_s
         ) + (last,)
@@ -504,10 +505,7 @@ def analyze_streamed(
             if engine == "pallas":
                 m = pallas_block.assemble_moments_packed(mom)
             else:
-                wshift = blocked._check_static(slab_shape, n, cfg)
-                m = blocked.assemble_moments(
-                    mom[:, :-6], mom[:, -6:-3], mom[:, -3:], wshift
-                )
+                m = blocked.assemble_moments_packed_blocked(mom)
             acc.add_moments(_shift_moments_z(m, z0))
             lo, hi, c3 = blocked.assemble_pairs(k1, k2, total)
             acc.add_pairs(lo, hi, c3)
